@@ -1,0 +1,3 @@
+from .mixer import Mixer, MixerSource, mixer
+from .player import Player, PlayerControl
+from .queue import SourcesQueueInput, SourcesQueueOutput, queue

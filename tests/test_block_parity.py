@@ -1,0 +1,458 @@
+"""Block engine vs scalar reference engine parity.
+
+Every test builds the same audio graph twice — once with the per-sample
+refimpl oracle, once with the block engine — and compares outputs at f32
+tolerance (the BASELINE 1e-6 contract).
+"""
+import numpy as np
+import pytest
+
+import rodio_tpu.refimpl as ri
+from rodio_tpu.effects import (
+    AgcSettings,
+    Amplify,
+    AutomaticGainControl,
+    BltFilter,
+    ChannelVolume,
+    Delay,
+    Distortion,
+    Limit,
+    LimitSettings,
+    LinearGainRamp,
+    Mix,
+    SkipDuration,
+    TakeDuration,
+)
+from rodio_tpu.conversions import Resample, Uniform
+from rodio_tpu.graph import render
+from rodio_tpu.sources import Chirp, SamplesBuffer, SignalGenerator, Zero
+
+
+def interleave(block):
+    """[C, F] -> interleaved 1-D"""
+    return np.asarray(block).T.reshape(-1)
+
+
+def ref_collect(src, limit=500_000):
+    out = []
+    for _ in range(limit):
+        v = src.next()
+        if v is None:
+            break
+        out.append(v)
+    return np.asarray(out, dtype=np.float32)
+
+
+def rand_buffer(rng, channels, frames, rate=48000):
+    data = rng.uniform(-1, 1, size=frames * channels).astype(np.float32)
+    return (
+        ri.SamplesBuffer(channels, rate, data),
+        SamplesBuffer(channels, rate, data),
+        data,
+    )
+
+
+# ---------------- sources ----------------
+
+def test_buffer_passthrough(rng):
+    ref, blk, data = rand_buffer(rng, 2, 1000)
+    out = render(blk, block_frames=256)
+    np.testing.assert_array_equal(interleave(out), data)
+
+
+def test_buffer_odd_blocks(rng):
+    ref, blk, data = rand_buffer(rng, 2, 777)
+    out = render(blk, block_frames=256)
+    np.testing.assert_array_equal(interleave(out), data)
+
+
+@pytest.mark.parametrize("func", ["sine", "triangle", "square", "sawtooth"])
+def test_generator_parity(func):
+    ref = ri.SignalGenerator(48000, 440.0, func)
+    blk = SignalGenerator(48000, 440.0, func)
+    n = 2048
+    expected = ref_collect(ref, n)[:n]
+    got = interleave(render(blk, max_frames=n, block_frames=512))
+    # the reference accumulates phase in f32 (drifts); the block engine is
+    # closed-form. For continuous waveforms the drift over 2048 samples stays
+    # within 2e-4; discontinuous ones (square/sawtooth) may flip the single
+    # sample AT a jump when the phases differ by one ulp.
+    err = np.abs(got - expected)
+    if func in ("square", "sawtooth"):
+        assert np.sum(err > 2e-4) <= 4  # only isolated edge samples
+    else:
+        np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+def test_generator_f64_accuracy():
+    # the block engine should be CLOSER to the ideal waveform than the
+    # accumulating reference over long windows
+    n = 48000 * 5
+    blk = SignalGenerator(48000, 440.0, "sine")
+    got = interleave(render(blk, max_frames=n, block_frames=4096))
+    i = np.arange(n, dtype=np.float64)
+    ideal = np.sin(2 * np.pi * ((i * (440.0 / 48000.0)) % 1.0))
+    assert np.max(np.abs(got - ideal)) < 5e-5
+
+
+def test_chirp_parity():
+    ref = ri.Chirp(48000, 100.0, 1000.0, 500_000_000)
+    blk = Chirp(48000, 100.0, 1000.0, 0.5)
+    expected = ref_collect(ref)
+    got = interleave(render(blk, block_frames=1024))
+    assert len(got) == len(expected)
+    # the chirp phase reaches ~3000 rad; XLA's sin argument reduction differs
+    # from libm's there by ~1e-4 (the reference's own formula has the same
+    # f32 phase granularity, so neither is "righter")
+    np.testing.assert_allclose(got, expected, atol=2e-3)
+
+
+def test_chirp_parity_small_phase():
+    # at small phase arguments the engines agree tightly
+    ref = ri.Chirp(48000, 20.0, 60.0, 200_000_000)
+    blk = Chirp(48000, 20.0, 60.0, 0.2)
+    expected = ref_collect(ref)
+    got = interleave(render(blk, block_frames=1024))
+    assert len(got) == len(expected)
+    np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+def test_zero_finite():
+    blk = Zero(2, 48000, num_frames=100)
+    out = render(blk, block_frames=64)
+    assert out.shape == (2, 100)
+    assert np.all(out == 0)
+
+
+# ---------------- resampler ----------------
+
+@pytest.mark.parametrize(
+    "from_rate,to_rate",
+    [
+        (44100, 48000),
+        (48000, 44100),
+        (48000, 96000),
+        (96000, 48000),
+        (22050, 48000),
+        (48000, 8000),
+        (44100, 192000),
+        (12000, 2400),
+        (1000, 7000),
+    ],
+)
+@pytest.mark.parametrize("channels", [1, 2])
+def test_resample_parity(rng, from_rate, to_rate, channels):
+    frames = 997
+    data = rng.uniform(-1, 1, size=frames * channels).astype(np.float32)
+    ref_src = ri.SamplesBuffer(channels, from_rate, data)
+
+    class _Iter:
+        def __init__(self, s):
+            self.s = s
+
+        def next(self):
+            return self.s.next()
+
+    conv = ri.SampleRateConverter(_Iter(ref_src), from_rate, to_rate, channels)
+    expected = []
+    while True:
+        v = conv.next()
+        if v is None:
+            break
+        expected.append(v)
+    expected = np.asarray(expected, dtype=np.float32)
+
+    blk = Resample(
+        SamplesBuffer(channels, from_rate, data), to_rate, max_block=1024
+    )
+    assert blk.total_frames() == len(expected) // channels
+    got = interleave(render(blk, block_frames=251))
+    assert len(got) == len(expected)
+    np.testing.assert_allclose(got, expected, atol=2e-7)
+
+
+def test_resample_identity(rng):
+    _, blk_src, data = rand_buffer(rng, 2, 500, rate=44100)
+    blk = Resample(blk_src, 44100)
+    got = interleave(render(blk, block_frames=128))
+    np.testing.assert_array_equal(got, data)
+
+
+def test_uniform_rodio_compat_long_buffer(rng):
+    """Span re-bootstrap every 32768 samples (src/source/uniform.rs:56)."""
+    channels, frames = 2, 40_000  # 80k samples -> 3 spans
+    data = rng.uniform(-1, 1, size=frames * channels).astype(np.float32)
+    ref_u = ri.UniformSourceIterator(
+        ri.SamplesBuffer(channels, 44100, data), 2, 48000
+    )
+    expected = ref_collect(ref_u)
+    blk = Uniform(
+        SamplesBuffer(channels, 44100, data), 2, 48000, rodio_compat=True
+    )
+    got = interleave(render(blk, block_frames=1024))
+    assert len(got) == len(expected)
+    np.testing.assert_allclose(got, expected, atol=2e-7)
+
+
+def test_uniform_channel_upmix(rng):
+    _, blk_src, data = rand_buffer(rng, 1, 300)
+    blk = Uniform(blk_src, 2, 48000)
+    got = render(blk)
+    np.testing.assert_array_equal(got[0], data)
+    np.testing.assert_array_equal(got[1], data)
+
+
+# ---------------- stateless effects ----------------
+
+def test_amplify_parity(rng):
+    ref_src, blk_src, _ = rand_buffer(rng, 2, 500)
+    expected = ref_collect(ri.Amplify(ref_src, 0.7))
+    got = interleave(render(Amplify(blk_src, 0.7), block_frames=128))
+    np.testing.assert_allclose(got, expected, atol=1e-7)
+
+
+def test_distortion_parity(rng):
+    ref_src, blk_src, _ = rand_buffer(rng, 2, 500)
+    expected = ref_collect(ri.Distortion(ref_src, 3.0, 0.8))
+    got = interleave(render(Distortion(blk_src, 3.0, 0.8), block_frames=128))
+    np.testing.assert_allclose(got, expected, atol=1e-7)
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+@pytest.mark.parametrize("clamp_end", [True, False])
+def test_ramp_parity(rng, channels, clamp_end):
+    ref_src, blk_src, _ = rand_buffer(rng, channels, 2000)
+    dur_ns = 25_000_000  # 25 ms -> ramp over 1200 frames
+    expected = ref_collect(
+        ri.LinearGainRamp(ref_src, dur_ns, 0.2, 0.9, clamp_end)
+    )
+    blk = LinearGainRamp(blk_src, 0.025, 0.2, 0.9, clamp_end)
+    got = interleave(render(blk, block_frames=256))
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_take_parity(rng, channels):
+    ref_src, blk_src, _ = rand_buffer(rng, channels, 2000)
+    dur_ns = 17_345_678
+    expected = ref_collect(ri.TakeDuration(ref_src, dur_ns))
+    blk = TakeDuration(blk_src, dur_ns / 1e9)
+    got = interleave(render(blk, block_frames=256))
+    assert len(got) == len(expected)
+    np.testing.assert_allclose(got, expected, atol=1e-7)
+
+
+def test_take_mid_frame_padding():
+    # duration ending mid-frame pads with silence (src/source/take.rs:115-123)
+    ref_src = ri.SamplesBuffer(2, 44100, [1.0] * 20)
+    dps = 1_000_000_000 // (44100 * 2)
+    expected = ref_collect(ri.TakeDuration(ref_src, dps * 5))
+    blk = TakeDuration(SamplesBuffer(2, 44100, [1.0] * 20), dps * 5 / 1e9)
+    got = interleave(render(blk, block_frames=16))
+    assert len(got) == len(expected) == 6
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_delay_parity(rng):
+    ref_src, blk_src, _ = rand_buffer(rng, 2, 1000)
+    dur_ns = 3_000_000
+    expected = ref_collect(ri.Delay(ref_src, dur_ns))
+    got = interleave(render(Delay(blk_src, 0.003), block_frames=128))
+    assert len(got) == len(expected)
+    np.testing.assert_allclose(got, expected, atol=1e-7)
+
+
+def test_skip_parity(rng):
+    ref_src, blk_src, _ = rand_buffer(rng, 2, 2000)
+    dur_ns = 10_000_000
+    expected = ref_collect(ri.skip_duration(ref_src, dur_ns))
+    got = interleave(render(SkipDuration(blk_src, 0.010), block_frames=256))
+    assert len(got) == len(expected)
+    np.testing.assert_allclose(got, expected, atol=1e-7)
+
+
+def test_channel_volume_parity(rng):
+    ref_src, blk_src, _ = rand_buffer(rng, 2, 600)
+    expected = ref_collect(ri.ChannelVolume(ref_src, [0.5, 2.0, 0.25]))
+    got = interleave(
+        render(ChannelVolume(blk_src, [0.5, 2.0, 0.25]), block_frames=128)
+    )
+    assert len(got) == len(expected)
+    np.testing.assert_allclose(got, expected, atol=1e-7)
+
+
+def test_mix_parity(rng):
+    ref_a, blk_a, _ = rand_buffer(rng, 2, 700)
+    ref_b, blk_b, _ = rand_buffer(rng, 2, 400)
+    expected = ref_collect(ri.Mix(ref_a, ref_b))
+    got = interleave(render(Mix(blk_a, blk_b), block_frames=128))
+    assert len(got) == len(expected)
+    np.testing.assert_allclose(got, expected, atol=1e-7)
+
+
+def test_mix_different_formats(rng):
+    """input2 gets uniformized to input1's format (src/source/mix.rs:20-22)."""
+    ref_a, blk_a, _ = rand_buffer(rng, 2, 500, rate=48000)
+    data_b = rng.uniform(-1, 1, size=300).astype(np.float32)
+    ref_b = ri.SamplesBuffer(1, 44100, data_b)
+    blk_b = SamplesBuffer(1, 44100, data_b)
+    expected = ref_collect(ri.Mix(ref_a, ref_b))
+    got = interleave(
+        render(Mix(blk_a, blk_b, rodio_compat=True), block_frames=128)
+    )
+    assert len(got) == len(expected)
+    np.testing.assert_allclose(got, expected, atol=2e-7)
+
+
+# ---------------- stateful effects ----------------
+
+@pytest.mark.parametrize("kind", ["low_pass", "high_pass"])
+@pytest.mark.parametrize("channels", [1, 2])
+@pytest.mark.parametrize("mode", ["exact", "parallel"])
+def test_blt_parity(rng, kind, channels, mode):
+    ref_src, blk_src, _ = rand_buffer(rng, channels, 3000, rate=44100)
+    expected = ref_collect(ri.BltFilter(ref_src, kind, 1200.0, 0.5))
+    blk = BltFilter(blk_src, kind, 1200.0, 0.5, mode=mode)
+    got = interleave(render(blk, block_frames=512))
+    assert len(got) == len(expected)
+    # exact mode matches up to FMA contraction (XLA fuses mul-adds; the TPU
+    # VPU does the same) — a 2-ulp rounding-path difference, not drift
+    tol = 3e-6 if mode == "exact" else 5e-5
+    np.testing.assert_allclose(got, expected, atol=tol)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3])
+@pytest.mark.parametrize("mode", ["exact", "parallel"])
+def test_limit_parity(rng, channels, mode):
+    frames = 3000
+    data = (
+        rng.uniform(-1, 1, size=frames * channels).astype(np.float32) * 2.0
+    )
+    ref_src = ri.SamplesBuffer(channels, 44100, data)
+    blk_src = SamplesBuffer(channels, 44100, data)
+    expected = ref_collect(ri.Limit(ref_src, ri.LimitSettings()))
+    blk = Limit(blk_src, LimitSettings(), mode=mode)
+    got = interleave(render(blk, block_frames=512))
+    assert len(got) == len(expected)
+    tol = 1e-6 if mode == "exact" else 1e-4
+    np.testing.assert_allclose(got, expected, atol=tol)
+
+
+def test_limit_settles_to_threshold():
+    """A -6 dB limited loud sine settles near 0.5 peak (tests/limit.rs)."""
+    from rodio_tpu.sources import SineWave
+
+    blk = Limit(
+        Amplify(SineWave(440.0), 2.0),
+        LimitSettings(threshold=-6.0, knee_width=0.5),
+    )
+    out = render(blk, max_frames=48000, block_frames=4096)
+    settled = np.abs(out[0, 24000:])
+    assert 0.45 < settled.max() < 0.56
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_agc_parity(rng, channels):
+    frames = 3000
+    data = (
+        rng.uniform(-1, 1, size=frames * channels).astype(np.float32) * 0.3
+    )
+    ref_src = ri.SamplesBuffer(channels, 44100, data)
+    blk_src = SamplesBuffer(channels, 44100, data)
+    expected = ref_collect(
+        ri.AutomaticGainControl(ref_src, ri.AgcSettings())
+    )
+    blk = AutomaticGainControl(blk_src, AgcSettings(), mode="exact")
+    got = interleave(render(blk, block_frames=512))
+    assert len(got) == len(expected)
+    # FMA contraction inside the envelope scans gives few-ulp per-step
+    # differences; the gain recurrence is contracting, so the deviation
+    # stays bounded (~1e-5 relative)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_agc_parity_long_window(rng):
+    """Cross the 8192-sample RMS ring boundary."""
+    frames = 12000
+    data = rng.uniform(-1, 1, size=frames).astype(np.float32) * 0.4
+    ref_src = ri.SamplesBuffer(1, 44100, data)
+    blk_src = SamplesBuffer(1, 44100, data)
+    expected = ref_collect(
+        ri.AutomaticGainControl(ref_src, ri.AgcSettings())
+    )
+    blk = AutomaticGainControl(blk_src, AgcSettings(), mode="exact")
+    got = interleave(render(blk, block_frames=999))
+    np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+def test_agc_parallel_close(rng):
+    frames = 12000
+    data = rng.uniform(-1, 1, size=frames).astype(np.float32) * 0.4
+    blk_src = SamplesBuffer(1, 44100, data)
+    exact = interleave(
+        render(
+            AutomaticGainControl(blk_src, AgcSettings(), mode="exact"),
+            block_frames=1024,
+        )
+    )
+    par = interleave(
+        render(
+            AutomaticGainControl(
+                SamplesBuffer(1, 44100, data), AgcSettings(), mode="parallel"
+            ),
+            block_frames=1024,
+        )
+    )
+    np.testing.assert_allclose(par, exact, atol=1e-4)
+
+
+# ---------------- combinator chains ----------------
+
+def test_pipeline_chain_parity(rng):
+    """A multi-effect chain end to end."""
+    frames = 5000
+    data = rng.uniform(-1, 1, size=frames * 2).astype(np.float32)
+
+    ref = ri.SamplesBuffer(2, 44100, data)
+    ref = ri.BltFilter(ref, "high_pass", 300.0, 0.5)
+    ref = ri.Amplify(ref, 1.2)
+    ref = ri.fade_in(ref, 20_000_000)
+    ref = ri.Delay(ref, 10_000_000)  # even interleaved count at 44.1k stereo
+    expected = ref_collect(ref)
+
+    blk = SamplesBuffer(2, 44100, data)
+    blk = BltFilter(blk, "high_pass", 300.0, 0.5)
+    blk = Amplify(blk, 1.2)
+    blk = blk.fade_in(0.020)
+    blk = Delay(blk, 0.010)
+    got = interleave(render(blk, block_frames=512))
+    assert len(got) == len(expected)
+    # resonant IIR feedback amplifies the FMA-vs-two-step rounding
+    # difference (see ops/scan.py docs); bounded, not drifting
+    np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+def test_reverb_runs(rng):
+    _, blk_src, _ = rand_buffer(rng, 2, 2000)
+    out = render(blk_src.reverb(0.01, 0.5), block_frames=256)
+    assert out.shape[0] == 2
+    assert out.shape[1] > 2000  # delayed echo extends the stream
+
+
+def test_repeat(rng):
+    _, blk_src, data = rand_buffer(rng, 2, 100)
+    rep = blk_src.repeat_infinite()
+    out = render(rep, max_frames=350, block_frames=64)
+    expected = np.tile(data.reshape(100, 2).T, (1, 4))[:, :350]
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    from rodio_tpu.io import read_wav, wav_to_file
+
+    _, blk_src, data = rand_buffer(rng, 2, 1000)
+    path = tmp_path / "out.wav"
+    wav_to_file(blk_src, str(path))
+    pcm, rate = read_wav(str(path))
+    assert rate == 48000
+    np.testing.assert_array_equal(interleave(pcm), data)
