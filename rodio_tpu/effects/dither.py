@@ -1,0 +1,70 @@
+"""Dither — subtractive dither at a target bit depth.
+
+TPU-native rebuild of src/source/dither.rs: output = x - noise * lsb where
+lsb = 1 / 2^(bits-1) and the noise algorithm is one of TPDF (default,
+triangular), RPDF (uniform), GPDF (gaussian), HighPass (blue, independent
+per channel). Counter-based jax.random, one [C, T] noise block per emit.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.node import Node, State, mask_block
+from ..core.types import check_bit_depth, float_dtype
+from ..sources.noise import GAUSSIAN_STD
+
+ALGORITHMS = ("tpdf", "rpdf", "gpdf", "highpass")
+
+
+class Dither(Node):
+    def __init__(self, input_node: Node, target_bits: int,
+                 algorithm: str = "tpdf", seed: int = 0):
+        algorithm = algorithm.lower()
+        if algorithm not in ALGORITHMS:
+            raise ValueError(f"unknown dither algorithm {algorithm!r}")
+        self.input = input_node
+        self.spec = input_node.spec
+        self.algorithm = algorithm
+        bits = check_bit_depth(target_bits)
+        self.lsb_amplitude = float(1.0 / (1 << (bits - 1)))
+        self.seed = seed
+
+    def total_frames(self) -> Optional[int]:
+        return self.input.total_frames()
+
+    def init_state(self) -> State:
+        return {
+            "in": self.input.init_state(),
+            "key": jax.random.key(self.seed),
+            "i": jnp.zeros((), dtype=jnp.int32),
+        }
+
+    def _noise(self, key, c, n):
+        dt = float_dtype()
+        if self.algorithm == "tpdf":
+            u = jax.random.uniform(key, (2, c, n), dtype=dt)
+            return u[0] - u[1]
+        if self.algorithm == "rpdf":
+            return jax.random.uniform(key, (c, n), dtype=dt, minval=-1.0,
+                                      maxval=1.0)
+        if self.algorithm == "gpdf":
+            return jax.random.normal(key, (c, n), dtype=dt) * GAUSSIAN_STD
+        # highpass: independent blue noise per channel = differentiated white
+        u = jax.random.uniform(key, (c, n + 1), dtype=dt, minval=-1.0,
+                               maxval=1.0)
+        return u[:, 1:] - u[:, :-1]
+
+    def emit(self, state: State, n: int):
+        s, block, valid = self.input.emit(state["in"], n)
+        k = jax.random.fold_in(state["key"], state["i"])
+        noise = self._noise(k, self.spec.channels, n)
+        out = block - noise * self.lsb_amplitude
+        out = mask_block(out, valid)
+        return (
+            {"in": s, "key": state["key"], "i": state["i"] + n},
+            out,
+            valid,
+        )

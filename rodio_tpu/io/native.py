@@ -1,0 +1,159 @@
+"""Native library loader — builds and binds librodio_native.so.
+
+The C++ runtime pieces (FLAC decoder, SPSC ring buffer) compile on demand
+with g++ -O2 into the package directory; ctypes binds the C ABI. Rebuilds
+automatically when sources are newer than the library.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "librodio_native.so"
+_SOURCES = ["flac.cpp", "ring.cpp"]
+
+_lib = None
+
+
+class NativeBuildError(RuntimeError):
+    pass
+
+
+def _needs_build() -> bool:
+    if not _LIB_PATH.exists():
+        return True
+    lib_mtime = _LIB_PATH.stat().st_mtime
+    return any(
+        (_NATIVE_DIR / s).stat().st_mtime > lib_mtime for s in _SOURCES
+    )
+
+
+def build(force: bool = False) -> Path:
+    if force or _needs_build():
+        cmd = [
+            "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+            *[str(_NATIVE_DIR / s) for s in _SOURCES],
+            "-o", str(_LIB_PATH),
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise NativeBuildError(
+                f"native build failed:\n{proc.stderr}"
+            )
+    return _LIB_PATH
+
+
+class _FlacInfo(ctypes.Structure):
+    _fields_ = [
+        ("sample_rate", ctypes.c_uint32),
+        ("channels", ctypes.c_uint32),
+        ("bits_per_sample", ctypes.c_uint32),
+        ("total_samples", ctypes.c_uint64),
+        ("decoded_frames", ctypes.c_uint64),
+    ]
+
+
+def lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        path = build()
+        _lib = ctypes.CDLL(str(path))
+        _lib.rtpu_flac_decode.restype = ctypes.c_int
+        _lib.rtpu_flac_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(_FlacInfo),
+        ]
+        _lib.rtpu_free.restype = None
+        _lib.rtpu_free.argtypes = [ctypes.c_void_p]
+        for name, restype, argtypes in [
+            ("rtpu_ring_create", ctypes.c_void_p, [ctypes.c_size_t]),
+            ("rtpu_ring_destroy", None, [ctypes.c_void_p]),
+            ("rtpu_ring_capacity", ctypes.c_size_t, [ctypes.c_void_p]),
+            ("rtpu_ring_len", ctypes.c_size_t, [ctypes.c_void_p]),
+            ("rtpu_ring_push", ctypes.c_size_t,
+             [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+              ctypes.c_size_t]),
+            ("rtpu_ring_pop", ctypes.c_size_t,
+             [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+              ctypes.c_size_t]),
+        ]:
+            fn = getattr(_lib, name)
+            fn.restype = restype
+            fn.argtypes = argtypes
+    return _lib
+
+
+def flac_decode(data: bytes) -> Tuple[np.ndarray, int]:
+    """Decode a FLAC stream -> ([channels, frames] float32, sample_rate).
+
+    Integer samples scale by full-scale 2^(bps-1), matching the decode
+    boundary convention (src/decoder/flac.rs semantics)."""
+    L = lib()
+    info = _FlacInfo()
+    out = ctypes.POINTER(ctypes.c_int32)()
+    rc = L.rtpu_flac_decode(data, len(data), ctypes.byref(out),
+                            ctypes.byref(info))
+    if rc != 0:
+        raise ValueError(f"FLAC decode failed (code {rc})")
+    n = info.decoded_frames * info.channels
+    try:
+        pcm = np.ctypeslib.as_array(out, shape=(n,)).astype(np.float32)
+    finally:
+        L.rtpu_free(out)
+    scale = np.float32(1 << (info.bits_per_sample - 1))
+    pcm /= scale
+    frames = info.decoded_frames
+    return (
+        np.ascontiguousarray(pcm.reshape(frames, info.channels).T),
+        int(info.sample_rate),
+    )
+
+
+def flac_probe(data: bytes) -> bool:
+    return data[:4] == b"fLaC"
+
+
+class SpscRing:
+    """Lock-free SPSC f32 ring buffer (native). The rtrb equivalent for
+    capture/playback transport (src/microphone.rs:119)."""
+
+    def __init__(self, capacity: int):
+        self._lib = lib()
+        self._h = self._lib.rtpu_ring_create(capacity)
+        if not self._h:
+            raise MemoryError("ring allocation failed")
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.rtpu_ring_destroy(h)
+            self._h = None
+
+    @property
+    def capacity(self) -> int:
+        return self._lib.rtpu_ring_capacity(self._h)
+
+    def __len__(self) -> int:
+        return self._lib.rtpu_ring_len(self._h)
+
+    def push(self, samples: np.ndarray) -> int:
+        samples = np.ascontiguousarray(samples, dtype=np.float32)
+        return self._lib.rtpu_ring_push(
+            self._h,
+            samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            samples.size,
+        )
+
+    def pop(self, n: int) -> np.ndarray:
+        out = np.empty(n, dtype=np.float32)
+        got = self._lib.rtpu_ring_pop(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n
+        )
+        return out[:got]
