@@ -108,6 +108,7 @@ class MixerSource(Node):
 
         total = np.zeros((self.spec.channels, n), dtype=np.float32)
         survivors: List[Tuple[Node, State]] = []
+        any_yield = False
         if traced:
             nodes = tuple(node for node, _ in traced)
             states = [st for _, st in traced]
@@ -121,13 +122,17 @@ class MixerSource(Node):
                 for (node, _), st, v in zip(traced, new_states, valids)
                 if v > 0
             )
+            any_yield = any_yield or bool((valids > 0).any())
         for node in hosted:
             block, alive = node.next_block(n)
             total = total + block
             if alive:
                 survivors.append((node, None))
+                any_yield = True
         self._current = survivors
-        return total, True
+        # the mixer ends at the first pull where no source yields
+        # (src/mixer.rs:131-135, checked after exhausted sources are dropped)
+        return total, any_yield
 
     # Node protocol: a mixer with FIXED membership is itself traceable, so it
     # can sit inside larger jitted graphs (membership frozen at trace time).

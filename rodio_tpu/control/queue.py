@@ -59,14 +59,14 @@ class SourcesQueueOutput:
     # -- metadata peeking (src/queue.rs:166-192) --
     def channels(self) -> int:
         if self.current is not None:
-            return self.current[0].spec.channels
+            return self.current["node"].spec.channels
         if self.input.next_sounds:
             return self.input.next_sounds[0][0].spec.channels
         return 1
 
     def sample_rate(self) -> int:
         if self.current is not None:
-            return self.current[0].spec.sample_rate
+            return self.current["node"].spec.sample_rate
         if self.input.next_sounds:
             return self.input.next_sounds[0][0].spec.sample_rate
         return DEFAULT_SAMPLE_RATE
