@@ -105,6 +105,34 @@ class Resample(Node):
         # pull size per emit (static)
         self.P = -(-max_block * self.from_ // self.to) + 3
         self.R = 2 * self.P
+        if not self.identity:
+            self._build_lerp_matrix()
+
+    def _build_lerp_matrix(self):
+        """Constant sparse interpolation operator for the MXU path.
+
+        One chunk of `to` output frames is a linear map of `from_`+1 input
+        frames: out[j] = (1-frac_j)*x[left_j] + frac_j*x[left_j+1] with
+        left_j = (from_*j)//to, frac_j = ((from_*j) % to)/to. As a matrix:
+        out[K, to] = X[K, from_] @ G0 + xnext[K] (x) g1, where xnext is the
+        first frame of the NEXT chunk (right neighbor of the chunk's last
+        outputs). Resampling then rides the MXU instead of a gather.
+        """
+        fr, to = self.from_, self.to
+        dt = float_dtype()
+        G0 = np.zeros((fr, to), dtype=dt)
+        g1 = np.zeros((to,), dtype=dt)
+        for j in range(to):
+            left = (fr * j) // to
+            frac = dt(dt(np.int64(fr * j) % to) / dt(to))
+            G0[left, j] += dt(1.0) - frac
+            if frac != 0:
+                if left + 1 < fr:
+                    G0[left + 1, j] += frac
+                else:
+                    g1[j] += frac
+        self._G0 = jnp.asarray(G0)
+        self._g1 = jnp.asarray(g1)
 
     def total_frames(self) -> Optional[int]:
         n_in = self.input.total_frames()
@@ -123,6 +151,15 @@ class Resample(Node):
     def init_state(self) -> State:
         if self.identity:
             return {"in": self.input.init_state()}
+        if getattr(self.input, "RANDOM_ACCESS", False):
+            # direct-gather fast path: no ring, no pulls — interpolation
+            # reads straight from the upstream's random-access storage
+            # (decode -> resample fusion; ~4x less HBM traffic per block)
+            return {
+                "in": self.input.init_state(),
+                "out_o": jnp.zeros((), dtype=jnp.int32),
+                "drained": jnp.asarray(False),
+            }
         c = self.spec.channels
         return {
             "in": self.input.init_state(),
@@ -165,6 +202,16 @@ class Resample(Node):
         if self.identity:
             s, block, valid = self.input.emit(state["in"], n)
             return {"in": s}, block, valid
+        if getattr(self.input, "RANDOM_ACCESS", False):
+            window = (n // self.to + 2) * self.from_ + 1
+            if (
+                self.segment_frames is None
+                and hasattr(self.input, "slice_frames")
+                # the upstream's zero padding guarantees unclamped windows
+                and window <= getattr(self.input, "PAD_FRAMES", 0)
+            ):
+                return self._emit_matmul(state, n)
+            return self._emit_random_access(state, n)
         assert n <= self.max_block, (
             f"Resample block {n} exceeds max_block={self.max_block}"
         )
@@ -235,6 +282,92 @@ class Resample(Node):
                 "in_end": in_end,
                 "drained": drained_new,
             },
+            out.astype(dt),
+            clip_valid(valid, n),
+        )
+
+    def _emit_matmul(self, state: State, n: int):
+        """MXU path over a sliceable upstream: chunk-reshaped matmul with
+        the constant lerp operator — no gathers anywhere."""
+        dt = float_dtype()
+        fr, to = self.from_, self.to
+        C = self.spec.channels
+        K = n // to + 2  # chunks covering any block alignment (static)
+
+        o0 = state["out_o"]
+        c0 = o0 // to
+        start, in_end = self.input.access_window(state["in"])
+
+        # contiguous input window [C, K*fr + 1] starting at chunk c0
+        window = self.input.slice_frames(state["in"], start + c0 * fr,
+                                         K * fr + 1)
+        X = window[:, : K * fr].reshape(C, K, fr)
+        xnext = jnp.concatenate(
+            [X[:, 1:, 0], window[:, K * fr : K * fr + 1]], axis=1
+        )  # [C, K]: first frame of each following chunk
+
+        Y = (
+            jnp.einsum("ckf,ft->ckt", X, self._G0,
+                       preferred_element_type=dt)
+            + xnext[:, :, None] * self._g1[None, None, :]
+        )  # [C, K, to]
+        out_full = Y.reshape(C, K * to)
+        off = o0 - c0 * to  # in [0, to)
+        out = jax.lax.dynamic_slice(
+            out_full, (jnp.int32(0), off.astype(jnp.int32)), (C, n)
+        )
+
+        # validity + drain (elementwise, no data access)
+        o = o0 + jnp.arange(n, dtype=jnp.int32)
+        left_g = (o // to) * fr + (fr * (o % to)) // to
+        full = left_g <= in_end - 2
+        n_full = jnp.sum(full.astype(jnp.int32))
+        cand_left = jnp.take(left_g, n_full, mode="clip")
+        drain_ok = (n_full < n) & (cand_left == in_end - 1)
+        valid = jnp.where(
+            state["drained"], 0, n_full + drain_ok.astype(jnp.int32)
+        )
+        # drain output = the final input frame, unmodified
+        last_frame = self.input.slice_frames(
+            state["in"], start + jnp.maximum(in_end - 1, 0), 1
+        )  # [C, 1]
+        i_idx = jnp.arange(n, dtype=jnp.int32)
+        out = jnp.where((i_idx == n_full) & drain_ok, last_frame, out)
+        out = jnp.where(i_idx[None, :] < valid, out, 0.0)
+        drained_new = state["drained"] | drain_ok | (valid < n)
+        return (
+            {"in": state["in"], "out_o": o0 + n, "drained": drained_new},
+            out.astype(dt),
+            clip_valid(valid, n),
+        )
+
+    def _emit_random_access(self, state: State, n: int):
+        """Ring-less path over a random-access upstream: one gather per
+        interpolation endpoint, straight from the upstream storage."""
+        dt = float_dtype()
+        o = state["out_o"] + jnp.arange(n, dtype=jnp.int32)
+        left_g, num, seg_drain = self._left_num(o)
+        start, in_end = self.input.access_window(state["in"])
+
+        lval = self.input.gather_frames(state["in"], start + left_g)
+        rval = self.input.gather_frames(state["in"], start + left_g + 1)
+        frac = num.astype(dt) / dt(self.to)
+        out = lval + (rval - lval) * frac[None, :]
+
+        full = (left_g <= in_end - 2) | seg_drain & (left_g <= in_end - 1)
+        n_full = jnp.sum(full.astype(jnp.int32))
+        cand_left = jnp.take(left_g, n_full, mode="clip")
+        drain_ok = (n_full < n) & (cand_left == in_end - 1)
+        valid = jnp.where(
+            state["drained"], 0, n_full + drain_ok.astype(jnp.int32)
+        )
+        i_idx = jnp.arange(n, dtype=jnp.int32)
+        out = jnp.where((i_idx == n_full) & drain_ok, lval, out)
+        out = jnp.where(i_idx[None, :] < valid, out, 0.0)
+        drained_new = state["drained"] | drain_ok | (valid < n)
+        return (
+            {"in": state["in"], "out_o": state["out_o"] + n,
+             "drained": drained_new},
             out.astype(dt),
             clip_valid(valid, n),
         )

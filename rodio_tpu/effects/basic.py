@@ -39,17 +39,19 @@ class _Wrap(Node):
 
 class Amplify(_Wrap):
     """sample * factor (src/source/amplify.rs:10-22). The factor lives in the
-    state so the Player can retune it at block boundaries."""
+    state so the Player can retune it at block boundaries; it may be a
+    scalar or a per-channel vector (the wide-channel batch layout uses
+    per-channel gains for per-stream volumes)."""
 
-    def __init__(self, input_node: Node, factor: float):
+    def __init__(self, input_node: Node, factor):
         super().__init__(input_node)
-        self.factor = float(factor)
+        self.factor = np.asarray(factor, dtype=float_dtype())
 
     def init_state(self) -> State:
-        return {
-            "in": self.input.init_state(),
-            "factor": jnp.asarray(self.factor, dtype=float_dtype()),
-        }
+        f = jnp.asarray(self.factor)
+        if f.ndim == 1:
+            f = f[:, None]  # broadcast over time
+        return {"in": self.input.init_state(), "factor": f}
 
     def emit(self, state: State, n: int):
         s, block, valid = self.input.emit(state["in"], n)

@@ -156,11 +156,23 @@ class Decoder(SamplesBuffer):
 class LoopedDecoder(Node):
     """Decoder that restarts at EOF forever (src/decoder/mod.rs:621-688)."""
 
+    RANDOM_ACCESS = True
+
     def __init__(self, source, settings: Optional[Settings] = None):
         inner = Decoder(source, settings)
         self.inner = inner
         self.spec = inner.spec
         self._frames = inner._frames
+
+    def access_window(self, state: State):
+        import jax.numpy as jnp
+
+        return state["pos"], jnp.asarray(2**31 - 1, dtype=jnp.int32)
+
+    def gather_frames(self, state: State, idx):
+        import jax.numpy as jnp
+
+        return jnp.take(state["data"], idx % self._frames, axis=1)
 
     def total_frames(self) -> Optional[int]:
         return None

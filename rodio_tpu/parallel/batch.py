@@ -77,6 +77,40 @@ class BatchedMixer(Node):
         return state, total, jnp.max(valids, initial=0)
 
 
+class WideMixer(Node):
+    """Stream-axis mixer for the WIDE-CHANNEL batch layout.
+
+    The most TPU-friendly way to run S homogeneous streams is to fold the
+    stream axis into the channel axis: one chain of S*C channels, no vmap —
+    every per-channel node (buffer slice, resampler matmul, biquad lanes,
+    per-channel gains) vectorizes natively and XLA sees plain dense ops.
+    This node closes the batch: [S*C, T] -> sum over S -> [C, T], the
+    mixer's N-way reduction (src/mixer.rs:185-198).
+    """
+
+    def __init__(self, input_node: Node, n_streams: int):
+        wide = input_node.spec.channels
+        if wide % n_streams:
+            raise ValueError("channel count not divisible by stream count")
+        from ..core.types import StreamSpec
+
+        self.input = input_node
+        self.n_streams = n_streams
+        self.spec = StreamSpec(wide // n_streams, input_node.spec.sample_rate)
+
+    def total_frames(self):
+        return self.input.total_frames()
+
+    def init_state(self) -> State:
+        return self.input.init_state()
+
+    def emit(self, state: State, n: int):
+        s, block, valid = self.input.emit(state, n)
+        c = self.spec.channels
+        mixed = block.reshape(self.n_streams, c, n).sum(axis=0)
+        return s, mixed, valid
+
+
 def batched_buffers(channels: int, sample_rate: int,
                     buffers: Sequence[np.ndarray]):
     """Build a (template SamplesBuffer, stacked state) pair from per-stream

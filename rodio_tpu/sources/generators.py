@@ -184,7 +184,33 @@ class SamplesBuffer(Node):
     Accepts interleaved 1-D data (rodio layout) or a [channels, frames]
     array. The data lives in the state pytree (HBM), not baked into the
     compiled executable, so one compilation serves any buffer contents.
+
+    RANDOM_ACCESS marks the node as gatherable: downstream stages (the
+    resampler) read frames directly instead of streaming pulls.
     """
+
+    RANDOM_ACCESS = True
+    #: zero padding appended to the device array so contiguous reads are
+    #: always in-bounds dynamic slices (never gathers — TPU gathers are slow)
+    PAD_FRAMES = 8192
+
+    def access_window(self, state: State):
+        """(start_frame, frames_from_start) of the remaining stream."""
+        return state["pos"], state["end"] - state["pos"]
+
+    def gather_frames(self, state: State, idx):
+        return jnp.take(state["data"], idx, axis=1, mode="fill", fill_value=0)
+
+    def slice_frames(self, state: State, start, length: int):
+        """Contiguous [C, length] window at dynamic start — a DMA-friendly
+        dynamic_slice (start clamped into the zero padding when past end)."""
+        import jax.lax as lax
+
+        start = jnp.clip(start, 0, self._frames + self.PAD_FRAMES - length)
+        return lax.dynamic_slice(
+            state["data"], (jnp.int32(0), start.astype(jnp.int32)),
+            (self.spec.channels, length),
+        )
 
     def __init__(self, channels: int, sample_rate: int, data,
                  *, start_frame: int = 0):
@@ -195,8 +221,9 @@ class SamplesBuffer(Node):
             arr = arr[: frames * channels].reshape(frames, channels).T
         elif arr.ndim != 2 or arr.shape[0] != channels:
             raise ValueError("data must be 1-D interleaved or [channels, frames]")
+        arr = np.pad(arr, ((0, 0), (0, self.PAD_FRAMES)))
         self._data = jnp.asarray(arr)
-        self._frames = arr.shape[1]
+        self._frames = arr.shape[1] - self.PAD_FRAMES
         self._start = int(start_frame)
 
     def total_frames(self) -> Optional[int]:
@@ -221,11 +248,11 @@ class SamplesBuffer(Node):
         }
 
     def emit(self, state: State, n: int):
-        pos = state["pos"]
-        idx = pos + jnp.arange(n, dtype=jnp.int32)
-        block = jnp.take(
-            state["data"], idx, axis=1, mode="fill", fill_value=0
+        assert n <= self.PAD_FRAMES, (
+            f"block {n} exceeds SamplesBuffer padding {self.PAD_FRAMES}"
         )
+        pos = state["pos"]
+        block = self.slice_frames(state, pos, n)
         valid = clip_valid(state["end"] - pos, n)
         block = mask_block(block, valid)
         return {**state, "pos": pos + n}, block, valid

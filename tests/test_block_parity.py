@@ -141,7 +141,8 @@ def test_zero_finite():
     ],
 )
 @pytest.mark.parametrize("channels", [1, 2])
-def test_resample_parity(rng, from_rate, to_rate, channels):
+@pytest.mark.parametrize("path", ["fast", "generic"])
+def test_resample_parity(rng, from_rate, to_rate, channels, path):
     frames = 997
     data = rng.uniform(-1, 1, size=frames * channels).astype(np.float32)
     ref_src = ri.SamplesBuffer(channels, from_rate, data)
@@ -162,13 +163,32 @@ def test_resample_parity(rng, from_rate, to_rate, channels):
         expected.append(v)
     expected = np.asarray(expected, dtype=np.float32)
 
-    blk = Resample(
-        SamplesBuffer(channels, from_rate, data), to_rate, max_block=1024
-    )
+    src = SamplesBuffer(channels, from_rate, data)
+    if path == "generic":
+        src = _HideRandomAccess(src)  # force the streaming ring path
+    blk = Resample(src, to_rate, max_block=1024)
     assert blk.total_frames() == len(expected) // channels
     got = interleave(render(blk, block_frames=251))
     assert len(got) == len(expected)
     np.testing.assert_allclose(got, expected, atol=2e-7)
+
+
+class _HideRandomAccess:
+    """Wrapper that hides gather access so the resampler exercises its
+    generic streaming-ring path."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.spec = inner.spec
+
+    def total_frames(self):
+        return self._inner.total_frames()
+
+    def init_state(self):
+        return self._inner.init_state()
+
+    def emit(self, state, n):
+        return self._inner.emit(state, n)
 
 
 def test_resample_identity(rng):
