@@ -9,3 +9,15 @@ from .generators import (
     TriangleWave,
     Zero,
 )
+from .concat import EmptyCallback, from_factory, from_iter
+from .noise import (
+    Blue,
+    Brownian,
+    Pink,
+    Red,
+    Velvet,
+    Violet,
+    WhiteGaussian,
+    WhiteTriangular,
+    WhiteUniform,
+)
