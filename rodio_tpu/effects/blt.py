@@ -49,12 +49,20 @@ class BltFilter(Node):
 
     def emit(self, state: State, n: int):
         s, x, valid = self.input.emit(state["in"], n)
-        y, (x1, x2, y1, y2) = biquad_df1(
-            x,
-            self.coeffs,
-            (state["x1"], state["x2"], state["y1"], state["y2"]),
-            mode=self.mode,
-        )
+        st = (state["x1"], state["x2"], state["y1"], state["y2"])
+        if self.mode == "pallas":
+            import jax
+
+            from ..ops.pallas_scan import biquad_df1_pallas
+
+            interpret = jax.default_backend() != "tpu"
+            y, (x1, x2, y1, y2) = biquad_df1_pallas(
+                x, self.coeffs, st, interpret=interpret
+            )
+        else:
+            y, (x1, x2, y1, y2) = biquad_df1(
+                x, self.coeffs, st, mode=self.mode
+            )
         y = mask_block(y, valid)
         return (
             {"in": s, "x1": x1, "x2": x2, "y1": y1, "y2": y2},

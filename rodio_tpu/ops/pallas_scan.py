@@ -1,0 +1,127 @@
+"""Pallas TPU kernels for sequential recurrences.
+
+XLA's `lax.scan` pays a fixed per-iteration cost that dominates thin-body
+audio recurrences (a few microseconds per time step for [lanes]-wide
+elementwise work). These kernels run the whole recurrence inside ONE
+Mosaic kernel with VMEM-resident data and register-resident carries:
+
+- the lane axis is shaped to (8, 128) so every time step is a single full
+  VPU vreg operation,
+- time is chunked over a sequential grid dimension; carries live in VMEM
+  scratch across grid steps (the standard TPU sequential-grid pattern),
+- input arrives lane-major [L, T] and is transposed chunk-wise in VMEM.
+
+Currently implemented: biquad direct-form-I (the reference's hottest IIR,
+src/source/blt.rs:556-561). The same skeleton extends to the limiter and
+AGC envelope recurrences.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 1024  # 8 sublanes x 128 lanes = one f32 vreg per time step
+
+
+def _biquad_kernel(x_ref, c_ref, state_ref, y_ref, out_state_ref, carry,
+                   *, t_chunk: int):
+    """One (lane_group, time_chunk) grid step.
+
+    x_ref/y_ref: [LANES, t_chunk] VMEM blocks (lane-major).
+    c_ref: [8] SMEM coefficients b0 b1 b2 a1 a2 (padded).
+    state_ref/out_state_ref: [LANES, 4] carries (x1, x2, y1, y2).
+    carry: [4, 8, 128] VMEM scratch persisting across the time grid.
+    """
+    t_idx = pl.program_id(1)
+    n_t = pl.num_programs(1)
+
+    b0 = c_ref[0]
+    b1 = c_ref[1]
+    b2 = c_ref[2]
+    a1 = c_ref[3]
+    a2 = c_ref[4]
+
+    @pl.when(t_idx == 0)
+    def _load_state():
+        st = state_ref[...]  # [LANES, 4]
+        carry[...] = st.T.reshape(4, 8, 128)
+
+    # time-major view of this chunk: [t_chunk, 8, 128]
+    xt = x_ref[...].T.reshape(t_chunk, 8, 128)
+
+    def step(t, acc):
+        x1, x2, y1, y2, ybuf = acc
+        xcur = xt[t]
+        y = b0 * xcur + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
+        ybuf = jax.lax.dynamic_update_index_in_dim(ybuf, y, t, 0)
+        return (xcur, x1, y, y1, ybuf)
+
+    init = (
+        carry[0], carry[1], carry[2], carry[3],
+        jnp.zeros((t_chunk, 8, 128), dtype=x_ref.dtype),
+    )
+    x1, x2, y1, y2, ybuf = jax.lax.fori_loop(0, t_chunk, step, init)
+
+    y_ref[...] = ybuf.reshape(t_chunk, LANES).T
+    carry[0] = x1
+    carry[1] = x2
+    carry[2] = y1
+    carry[3] = y2
+
+    @pl.when(t_idx == n_t - 1)
+    def _store_state():
+        out_state_ref[...] = carry[...].reshape(4, LANES).T
+
+
+@functools.partial(jax.jit, static_argnames=("t_chunk", "interpret"))
+def biquad_df1_pallas(x, coeffs, state, *, t_chunk: int = 512,
+                      interpret: bool = False):
+    """Fused biquad: x [L, T] lanes-by-time -> (y [L, T], new state).
+
+    coeffs: (b0, b1, b2, a1, a2) scalars. state: (x1, x2, y1, y2) each [L].
+    L is padded to a multiple of 1024 lanes; T to a multiple of t_chunk.
+    """
+    L, T = x.shape
+    dt = x.dtype
+    Lp = -(-L // LANES) * LANES
+    Tp = -(-T // t_chunk) * t_chunk
+    xp = jnp.pad(x, ((0, Lp - L), (0, Tp - T)))
+    st = jnp.stack([jnp.pad(s, (0, Lp - L)) for s in state], axis=1)  # [Lp,4]
+    c = jnp.asarray(list(coeffs) + [0.0, 0.0, 0.0], dtype=dt)  # pad to 8
+
+    grid = (Lp // LANES, Tp // t_chunk)
+    y, out_state = pl.pallas_call(
+        functools.partial(_biquad_kernel, t_chunk=t_chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((LANES, t_chunk), lambda i, t: (i, t),
+                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((LANES, 4), lambda i, t: (i, 0),
+                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((LANES, t_chunk), lambda i, t: (i, t),
+                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((LANES, 4), lambda i, t: (i, 0),
+                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Lp, Tp), dt),
+            jax.ShapeDtypeStruct((Lp, 4), dt),
+        ),
+        scratch_shapes=[pltpu.VMEM((4, 8, 128), dt)],
+        interpret=interpret,
+    )(xp, c, st)
+    y = y[:L, :T]
+    if T >= 2:
+        # DF1 carry == the last two unpadded inputs/outputs (avoids the
+        # padded tail steps advancing the in-kernel carry)
+        new_state = (x[:, -1], x[:, -2], y[:, -1], y[:, -2])
+    else:
+        new_state = tuple(out_state[:L, i] for i in range(4))
+    return y, new_state

@@ -476,3 +476,20 @@ def test_wav_roundtrip(tmp_path, rng):
     pcm, rate = read_wav(str(path))
     assert rate == 48000
     np.testing.assert_array_equal(interleave(pcm), data)
+
+
+def test_blt_pallas_mode(rng):
+    """The Pallas fused biquad matches the scan bit-for-bit (interpret mode
+    on CPU; the same kernel compiles for TPU)."""
+    ref_src, blk_src, _ = rand_buffer(rng, 2, 2000, rate=44100)
+    exact = interleave(
+        render(BltFilter(blk_src, "low_pass", 1200.0, 0.5, mode="exact"),
+               block_frames=512)
+    )
+    blk2 = SamplesBuffer(2, 44100,
+                         np.asarray(render(blk_src)).T.reshape(-1))
+    pal = interleave(
+        render(BltFilter(blk2, "low_pass", 1200.0, 0.5, mode="pallas"),
+               block_frames=512)
+    )
+    np.testing.assert_array_equal(pal, exact)
