@@ -1,0 +1,136 @@
+"""Seek behavior across formats and wrappers.
+
+Mirrors the reference's seek test matrix (tests/seek.rs): every decodable
+(format, backend) pair supports seek, saturates beyond the end, reports
+accurate remaining playtime, preserves channel order after seeking, and
+seeking after exhaustion recovers.
+"""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from rodio_tpu.graph import render
+from rodio_tpu.graph.seek import seek_state
+from rodio_tpu.io.decoder import Decoder
+
+ASSETS = "/root/reference/assets"
+
+FORMATS = ["music.wav", "music.flac", "music.mp3", "music.ogg"]
+
+
+def _decoder(name):
+    p = os.path.join(ASSETS, name)
+    if not os.path.exists(p):
+        pytest.skip(f"missing {name}")
+    return Decoder(p)
+
+
+@pytest.mark.parametrize("name", FORMATS)
+def test_seek_matches_slice(name):
+    """Seeking to t then reading equals the slice at t (sample-exact —
+    tighter than the reference's ±250 ms bound, tests/seek.rs:138-162)."""
+    d = _decoder(name)
+    full = render(d, max_frames=int(3.0 * d.spec.sample_rate))
+    state = d.seek_state(d.init_state(), 2.0)
+    _, block, valid = jax.jit(lambda s: d.emit(s, 256))(state)
+    target = int(2.0 * d.spec.sample_rate)
+    np.testing.assert_array_equal(
+        np.asarray(block), full[:, target : target + 256]
+    )
+
+
+@pytest.mark.parametrize("name", FORMATS)
+def test_seek_beyond_end_saturates(name):
+    """(tests/seek.rs beyond-end saturation)"""
+    d = _decoder(name)
+    state = d.seek_state(d.init_state(), 1e6)
+    _, block, valid = jax.jit(lambda s: d.emit(s, 64))(state)
+    assert int(valid) == 0
+    assert np.all(np.asarray(block) == 0)
+
+
+@pytest.mark.parametrize("name", FORMATS)
+def test_remaining_playtime_exact(name):
+    """Remaining frames after seek = total - target (sample accuracy)."""
+    d = _decoder(name)
+    total = d.total_frames()
+    target = int(1.5 * d.spec.sample_rate)
+    state = d.seek_state(d.init_state(), 1.5)
+    remaining = 0
+    step = jax.jit(lambda s: d.emit(s, 4096))
+    while True:
+        state, _, valid = step(state)
+        remaining += int(valid)
+        if int(valid) < 4096:
+            break
+    assert remaining == total - target
+
+
+def test_channel_order_preserved_after_seek():
+    """(tests/seek.rs channel-order preservation) — seek lands on a frame
+    boundary, left stays left."""
+    rate = 48000
+    frames = 10000
+    left = np.linspace(0, 1, frames, dtype=np.float32)
+    right = -left
+    data = np.stack([left, right])
+    from rodio_tpu.sources import SamplesBuffer
+
+    buf = SamplesBuffer(2, rate, data)
+    state = buf.seek_state(buf.init_state(), 0.1)
+    _, block, _ = jax.jit(lambda s: buf.emit(s, 64))(state)
+    block = np.asarray(block)
+    assert np.all(block[0] >= 0)
+    assert np.all(block[1] <= 0)
+    np.testing.assert_array_equal(block[0], -block[1])
+
+
+def test_seek_after_exhaustion_recovers():
+    """(tests/seek.rs seek-after-end) — a drained source seeks back and
+    plays again."""
+    d = _decoder("music.wav")
+    state = d.init_state()
+    step = jax.jit(lambda s: d.emit(s, 8192))
+    while True:
+        state, _, valid = step(state)
+        if int(valid) < 8192:
+            break
+    state = d.seek_state(state, 0.5)
+    state, block, valid = step(state)
+    assert int(valid) == 8192
+    assert np.abs(np.asarray(block)).max() > 0.001
+
+
+def test_generic_seek_through_effect_chain():
+    """seek_state() fast-forwards stateful chains exactly: the filter tail
+    at the target matches a straight play-through."""
+    from rodio_tpu.sources import SamplesBuffer
+
+    rng = np.random.default_rng(5)
+    data = rng.uniform(-1, 1, (2, 12000)).astype(np.float32)
+    node = SamplesBuffer(2, 48000, data).low_pass(1000.0).amplify(0.9)
+    full = render(node)
+
+    st = seek_state(node, 0.1, step_frames=1024)
+    _, block, valid = jax.jit(lambda s: node.emit(s, 256))(st)
+    target = 4800
+    np.testing.assert_allclose(
+        np.asarray(block), full[:, target : target + 256], atol=1e-7
+    )
+
+
+def test_player_try_seek():
+    from rodio_tpu.control import Player, mixer
+    from rodio_tpu.sources import SamplesBuffer
+
+    rng = np.random.default_rng(6)
+    data = rng.uniform(-1, 1, 48000).astype(np.float32)
+    tx, rx = mixer(1, 48000)
+    player = Player.connect_new(tx, block_frames=128)
+    player.append(SamplesBuffer(1, 48000, data))
+    rx.next_block(128)
+    player.try_seek(0.5)
+    block, _ = rx.next_block(128)
+    np.testing.assert_allclose(block[0], data[24000:24128], atol=1e-7)
