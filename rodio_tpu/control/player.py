@@ -103,20 +103,27 @@ class Player:
 
     # -- append (src/player.rs:104-170) --
     def append(self, node: Node) -> None:
+        wrapped = self._wrap(node, self._speed)
+        signal = self.queue_tx.append_with_signal(wrapped)
+        self._signals.append(signal)
+
+    def _wrap(self, node: Node, speed: float) -> "PlayerControl":
         from ..conversions.uniform import Uniform
 
-        if self._speed != 1.0:
+        original = node
+        if speed != 1.0:
             from ..effects.basic import Speed
 
-            node = Speed(node, self._speed)
+            node = Speed(node, speed)
         node = Uniform(
             node, self._mixer.spec.channels, self._mixer.spec.sample_rate
         )
         wrapped = PlayerControl(
             node, initially_paused=self._paused, volume=self._volume
         )
-        signal = self.queue_tx.append_with_signal(wrapped)
-        self._signals.append(signal)
+        wrapped.original = original  # kept for live re-plans (speed changes)
+        wrapped.speed = speed
+        return wrapped
 
     # -- knobs --
     def _apply(self, **updates):
@@ -152,7 +159,43 @@ class Player:
         return self._volume
 
     def set_speed(self, speed: float):
+        """Live varispeed: queued sounds pick the new factor up on start;
+        the CURRENT sound re-plans at the next block boundary — the block
+        analog of the reference's span re-bootstrap with the scaled rate
+        (src/source/speed.rs + src/source/uniform.rs interplay)."""
         self._speed = speed
+        cur = self.queue_rx.current
+        if cur is None:
+            return
+        old = cur["node"]
+        original = getattr(old, "original", None)
+        if original is None or getattr(old, "speed", 1.0) == speed:
+            return
+        # rebuild the chain at the new ratio, preserving playback position
+        # and control state
+        pos_secs = 0.0
+        state = cur["state"]
+        if isinstance(state, dict) and "frames" in state:
+            pos_secs = float(state["frames"]) / old.spec.sample_rate
+        # preserve the SOURCE position (the reference keeps pulling from the
+        # same sample; only the playback rate changes): source seconds =
+        # out seconds x old factor, re-expressed in the new chain's timeline
+        source_secs = pos_secs * getattr(old, "speed", 1.0)
+        pos_secs = source_secs / speed
+        wrapped = self._wrap(original, speed)
+        from ..graph.render import compile_step
+        from ..graph.seek import seek_state
+
+        new_state = seek_state(wrapped, pos_secs)
+        if isinstance(new_state, dict) and isinstance(state, dict):
+            for k in ("volume", "paused", "stopped", "frames"):
+                if k in state and k in new_state:
+                    new_state[k] = state[k]
+        cur["node"] = wrapped
+        cur["state"] = new_state
+        cur["step"] = compile_step(wrapped, self.queue_rx.block_frames)
+        cur["leftover"] = None
+        cur["ended"] = False
 
     def speed(self) -> float:
         return self._speed

@@ -248,11 +248,15 @@ class SamplesBuffer(Node):
         }
 
     def emit(self, state: State, n: int):
-        assert n <= self.PAD_FRAMES, (
-            f"block {n} exceeds SamplesBuffer padding {self.PAD_FRAMES}"
-        )
         pos = state["pos"]
-        block = self.slice_frames(state, pos, n)
+        if n <= self.PAD_FRAMES:
+            block = self.slice_frames(state, pos, n)
+        else:
+            # oversized pull (e.g. a heavy-downsampling resampler feeding on
+            # max_block outputs): gather fallback, correct at any size
+            block = self.gather_frames(
+                state, pos + jnp.arange(n, dtype=jnp.int32)
+            )
         valid = clip_valid(state["end"] - pos, n)
         block = mask_block(block, valid)
         return {**state, "pos": pos + n}, block, valid

@@ -250,3 +250,29 @@ def test_sample_convert_roundtrip(rng):
     # clipping at the boundary (src/common.rs:43-48)
     loud = np.array([2.0, -2.0], np.float32)
     assert from_f32(loud, np.int16).tolist() == [32767, -32767]
+
+
+def test_player_live_speed_change():
+    """set_speed re-plans the current sound at the new resample ratio,
+    preserving position (the span re-bootstrap analog)."""
+    from rodio_tpu.control import Player, mixer
+    from rodio_tpu.sources import SamplesBuffer
+
+    rate = 48000
+    ramp = np.arange(rate * 4, dtype=np.float32) / (rate * 4)
+    tx, rx = mixer(1, rate)
+    player = Player.connect_new(tx, block_frames=480)
+    player.append(SamplesBuffer(1, rate, ramp))
+
+    for _ in range(10):  # 4800 frames at speed 1.0
+        rx.next_block(480)
+    pos_before = player.get_pos()
+
+    player.set_speed(2.0)
+    block, _ = rx.next_block(480)
+    # at 2x the source advances 2 frames per output frame: slope doubles
+    slope = np.diff(block[0][10:470]).mean()
+    assert slope == pytest.approx(2.0 / (rate * 4), rel=0.05)
+    # playback continued from (approximately) the same source position
+    expected_start = ramp[4800]
+    assert abs(block[0][0] - expected_start) < 0.01
