@@ -66,6 +66,7 @@ def main():
 
     node, state = make_flagship(
         n_streams, seconds=seconds, scan_mode=scan_mode, source_pcm=pcm,
+        with_agc=os.environ.get("BENCH_AGC", "0") == "1",
         max_block=max(T, 8192),
     )
 

@@ -49,13 +49,20 @@ class AgcSettings:
 
 
 class AutomaticGainControl(Node):
+    """``streams`` > 1 runs S independent AGCs over the wide-channel batch
+    layout: the input's channels split into S groups of channels/S, each
+    with its own peak/window/gain state (vectorized as scan lanes)."""
+
     def __init__(self, input_node: Node, settings: AgcSettings = None,
-                 *, mode: str = "exact"):
+                 *, mode: str = "exact", streams: int = 1):
         settings = settings or AgcSettings()
         self.input = input_node
         self.spec = input_node.spec
         self.settings = settings
         self.mode = mode
+        if input_node.spec.channels % streams:
+            raise ValueError("channels not divisible by stream count")
+        self.streams = streams
         rate = self.spec.sample_rate
         # times clamped to 10 s (src/source/mod.rs:432-433)
         attack_ns = min(duration_to_nanos(settings.attack_time), 10_000_000_000)
@@ -72,12 +79,13 @@ class AutomaticGainControl(Node):
 
     def init_state(self) -> State:
         dt = float_dtype()
+        S = self.streams
         return {
             "in": self.input.init_state(),
-            "peak": jnp.zeros((), dtype=dt),
-            "gain": jnp.ones((), dtype=dt),
-            "rms_sum": jnp.zeros((), dtype=dt),
-            "window": jnp.zeros((RMS_WINDOW_SIZE,), dtype=dt),
+            "peak": jnp.zeros((S,), dtype=dt),
+            "gain": jnp.ones((S,), dtype=dt),
+            "rms_sum": jnp.zeros((S,), dtype=dt),
+            "window": jnp.zeros((S, RMS_WINDOW_SIZE), dtype=dt),
             "widx": jnp.zeros((), dtype=jnp.int32),
         }
 
@@ -87,10 +95,14 @@ class AutomaticGainControl(Node):
             return {**state, "in": s}, x, valid
 
         dt = float_dtype()
-        c, t = x.shape
-        m = c * t
-        # interleaved order = column-major flatten of [C, T]
-        xs = jnp.abs(x.T.reshape(m))
+        S = self.streams
+        c_total, t = x.shape
+        cg = c_total // S
+        m = cg * t  # interleaved samples per stream group
+        # per group, interleaved order = column-major flatten of [Cg, T]:
+        # [S*Cg, T] -> [S, Cg, T] -> [S, T, Cg] -> [S, M]
+        xg = x.reshape(S, cg, t).transpose(0, 2, 1).reshape(S, m)
+        xs = jnp.abs(xg)
         sq = xs * xs
 
         rel = dt(self.release_coeff)
@@ -100,20 +112,18 @@ class AutomaticGainControl(Node):
         floor = dt(self.floor)
 
         # --- old window values leaving the ring at each step ---
+        # (the ring cadence is shared across groups: widx is one scalar)
         widx = state["widx"]
         if m >= RMS_WINDOW_SIZE:
-            ring_old = jnp.take(
-                state["window"],
-                (widx + jnp.arange(RMS_WINDOW_SIZE, dtype=jnp.int32))
-                % RMS_WINDOW_SIZE,
+            idx = (widx + jnp.arange(RMS_WINDOW_SIZE, dtype=jnp.int32)) \
+                % RMS_WINDOW_SIZE
+            ring_old = jnp.take(state["window"], idx, axis=1)
+            old = jnp.concatenate(
+                [ring_old, sq[:, : m - RMS_WINDOW_SIZE]], axis=1
             )
-            old = jnp.concatenate([ring_old, sq[: m - RMS_WINDOW_SIZE]])
         else:
-            ring_old = jnp.take(
-                state["window"],
-                (widx + jnp.arange(m, dtype=jnp.int32)) % RMS_WINDOW_SIZE,
-            )
-            old = ring_old
+            idx = (widx + jnp.arange(m, dtype=jnp.int32)) % RMS_WINDOW_SIZE
+            old = jnp.take(state["window"], idx, axis=1)
 
         if self.mode == "exact":
             # op-order identical to the reference: per step,
@@ -127,8 +137,11 @@ class AutomaticGainControl(Node):
                 return (peak, rms_sum), (peak, rms_sum)
 
             (_, _), (peak_seq, sum_seq) = jax.lax.scan(
-                step, (state["peak"], state["rms_sum"]), (xs, sq, old)
+                step, (state["peak"], state["rms_sum"]),
+                (xs.T, sq.T, old.T),  # scan over time, [S] lanes per step
             )
+            peak_seq = peak_seq.T  # [S, M]
+            sum_seq = sum_seq.T
         else:
             from ..ops.scan import max_affine_scan
 
@@ -136,7 +149,7 @@ class AutomaticGainControl(Node):
                 xs, (1.0 - rel) * xs, jnp.full_like(xs, rel), state["peak"],
                 mode="parallel",
             )
-            sum_seq = state["rms_sum"] + jnp.cumsum(sq - old)
+            sum_seq = state["rms_sum"][:, None] + jnp.cumsum(sq - old, axis=1)
 
         rms = jnp.sqrt(sum_seq / dt(RMS_WINDOW_SIZE))
         rms_gain = jnp.where(rms > 0.0, target / rms, max_gain)
@@ -152,33 +165,31 @@ class AutomaticGainControl(Node):
             g = jnp.clip(g, dt(0.1), max_gain)
             return g, g
 
-        _, gain_seq = jax.lax.scan(gain_step, state["gain"], desired)
+        _, gain_seq = jax.lax.scan(gain_step, state["gain"], desired.T)
+        gain_seq = gain_seq.T  # [S, M]
 
-        y = (x.T.reshape(m) * gain_seq).reshape(t, c).T
+        y = (xg * gain_seq).reshape(S, t, cg).transpose(0, 2, 1)
+        y = y.reshape(c_total, t)
         y = mask_block(y, valid)
 
         # --- update ring window state ---
         if m >= RMS_WINDOW_SIZE:
-            new_window = sq[m - RMS_WINDOW_SIZE :]
-            # ring is stored rotated so that widx' = (widx + m) % SIZE maps
-            # slot k to the value that entered (SIZE - k) steps before end
+            new_window = sq[:, m - RMS_WINDOW_SIZE :]
+            pos = (widx + jnp.arange(m - RMS_WINDOW_SIZE, m,
+                                     dtype=jnp.int32)) % RMS_WINDOW_SIZE
+            window_new = state["window"].at[:, pos].set(new_window)
             widx_new = (widx + m) % RMS_WINDOW_SIZE
-            # place new_window so that logical order is preserved:
-            # window[(widx_new + j) % S] = new_window[j]... we instead store
-            # by scattering at positions (widx + i) % S for each new value i
-            pos = (widx + jnp.arange(m - RMS_WINDOW_SIZE, m, dtype=jnp.int32)) % RMS_WINDOW_SIZE
-            window_new = state["window"].at[pos].set(new_window)
         else:
             pos = (widx + jnp.arange(m, dtype=jnp.int32)) % RMS_WINDOW_SIZE
-            window_new = state["window"].at[pos].set(sq)
+            window_new = state["window"].at[:, pos].set(sq)
             widx_new = (widx + m) % RMS_WINDOW_SIZE
 
         return (
             {
                 "in": s,
-                "peak": peak_seq[-1],
-                "gain": gain_seq[-1],
-                "rms_sum": sum_seq[-1],
+                "peak": peak_seq[:, -1],
+                "gain": gain_seq[:, -1],
+                "rms_sum": sum_seq[:, -1],
                 "window": window_new,
                 "widx": widx_new,
             },

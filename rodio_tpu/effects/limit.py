@@ -94,8 +94,12 @@ def limiter_gain_db(x, threshold: float, knee_width: float, inv_knee_8: float):
 
 
 class Limit(Node):
+    """``streams`` > 1 limits S independent groups of channels/S channels
+    (the wide-channel batch layout): envelopes per channel, gain coupled
+    within each group only."""
+
     def __init__(self, input_node: Node, settings: LimitSettings = None,
-                 *, mode: str = "exact"):
+                 *, mode: str = "exact", streams: int = 1):
         from ..core.math import duration_to_coefficient
         from ..core.types import duration_to_nanos
 
@@ -104,6 +108,9 @@ class Limit(Node):
         self.spec = input_node.spec
         self.settings = settings
         self.mode = mode
+        if input_node.spec.channels % streams:
+            raise ValueError("channels not divisible by stream count")
+        self.streams = streams
         rate = self.spec.sample_rate
         self.attack = float(duration_to_coefficient(
             0, rate, nanos=duration_to_nanos(settings.attack)))
@@ -142,21 +149,26 @@ class Limit(Node):
         )  # [C, T]
 
         c = self.spec.channels
-        if c == 1:
-            max_peak = peak  # [1, T]
+        cg = c // self.streams
+        if cg == 1:
+            max_peak = peak  # per-channel groups: no coupling
         else:
-            # fresh peaks for channels <= c, previous-frame peaks for > c
+            # within each group: fresh peaks for channels <= c, previous-
+            # frame peaks for channels > c (the interleaved-order staleness)
             peak_prev = jnp.concatenate(
                 [state["peak"][:, None], peak[:, :-1]], axis=1
             )
-            fresh_cummax = jax.lax.cummax(peak, axis=0)  # max over c' <= c
-            # stale suffix max over c' > c
-            stale_rev = jnp.flip(peak_prev, axis=0)
-            stale_sufmax = jnp.flip(jax.lax.cummax(stale_rev, axis=0), axis=0)
+            pg = peak.reshape(self.streams, cg, n)
+            sg = peak_prev.reshape(self.streams, cg, n)
+            fresh_cummax = jax.lax.cummax(pg, axis=1)
+            stale_rev = jnp.flip(sg, axis=1)
+            stale_sufmax = jnp.flip(jax.lax.cummax(stale_rev, axis=1), axis=1)
             stale_above = jnp.concatenate(
-                [stale_sufmax[1:], jnp.full((1, n), -jnp.inf, dtype=dt)], axis=0
+                [stale_sufmax[:, 1:],
+                 jnp.full((self.streams, 1, n), -jnp.inf, dtype=dt)],
+                axis=1,
             )
-            max_peak = jnp.maximum(fresh_cummax, stale_above)
+            max_peak = jnp.maximum(fresh_cummax, stale_above).reshape(c, n)
 
         y = x * db_to_linear(-max_peak)
         y = mask_block(y, valid)

@@ -33,7 +33,7 @@ from .sources.generators import SamplesBuffer
 def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
                   in_rate: int = 44100, out_rate: int = 48000,
                   channels: int = 2, seed: int = 0,
-                  scan_mode: str = "exact",
+                  scan_mode: str = "exact", with_agc: bool = False,
                   source_pcm: Optional[np.ndarray] = None,
                   max_block: int = 8192):
     """Build (master_node, state) for the flagship pipeline.
@@ -69,6 +69,12 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
     chain = SamplesBuffer(n_streams * channels, in_rate, wide)
     chain = Resample(chain, out_rate, max_block=max_block)
     chain = BltFilter(chain, "low_pass", 2000.0, 0.5, mode=scan_mode)
+    if with_agc:
+        from .effects.agc import AgcSettings, AutomaticGainControl
+
+        chain = AutomaticGainControl(
+            chain, AgcSettings(), mode=scan_mode, streams=n_streams
+        )
     chain = Amplify(chain, per_channel_gain)
     chain = WideMixer(chain, n_streams)
     master = Limit(chain, LimitSettings(), mode=scan_mode)

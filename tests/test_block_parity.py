@@ -493,3 +493,47 @@ def test_blt_pallas_mode(rng):
                block_frames=512)
     )
     np.testing.assert_array_equal(pal, exact)
+
+
+def test_agc_wide_stream_groups(rng):
+    """AGC with streams=S over the wide-channel layout equals S independent
+    per-stream AGCs."""
+    S, C, frames = 3, 2, 4000
+    per = []
+    wides = []
+    for s in range(S):
+        data = rng.uniform(-0.5, 0.5, (C, frames)).astype(np.float32)
+        wides.append(data)
+        node = AutomaticGainControl(
+            SamplesBuffer(C, 44100, data), AgcSettings(), mode="exact"
+        )
+        per.append(np.asarray(render(node, block_frames=512)))
+    wide = np.concatenate(wides, axis=0)  # [S*C, frames]
+    node = AutomaticGainControl(
+        SamplesBuffer(S * C, 44100, wide), AgcSettings(), mode="exact",
+        streams=S,
+    )
+    got = np.asarray(render(node, block_frames=512))
+    for s in range(S):
+        np.testing.assert_allclose(
+            got[s * C : (s + 1) * C], per[s], atol=1e-6
+        )
+
+
+def test_limit_wide_stream_groups(rng):
+    """Limit with streams=S couples gains within each group only."""
+    S, C, frames = 3, 2, 3000
+    per = []
+    wides = []
+    for s in range(S):
+        data = (rng.uniform(-1, 1, (C, frames)) * (0.5 + s)).astype(np.float32)
+        wides.append(data)
+        node = Limit(SamplesBuffer(C, 44100, data), LimitSettings(),
+                     mode="exact")
+        per.append(np.asarray(render(node, block_frames=512)))
+    wide = np.concatenate(wides, axis=0)
+    node = Limit(SamplesBuffer(S * C, 44100, wide), LimitSettings(),
+                 mode="exact", streams=S)
+    got = np.asarray(render(node, block_frames=512))
+    for s in range(S):
+        np.testing.assert_allclose(got[s * C : (s + 1) * C], per[s], atol=1e-6)
