@@ -102,10 +102,19 @@ class Player:
         return player
 
     # -- append (src/player.rs:104-170) --
-    def append(self, node: Node) -> None:
+    def append(self, node: Node, *, on_done=None) -> None:
+        """Queue a sound; ``on_done`` fires when it finishes (the Done
+        wrapper analog, src/source/done.rs)."""
         wrapped = self._wrap(node, self._speed)
-        signal = self.queue_tx.append_with_signal(wrapped)
+        signal = self.queue_tx.append_with_signal(wrapped, callback=on_done)
         self._signals.append(signal)
+
+    def periodic_access(self, period_seconds: float, fn) -> None:
+        """Host hook every ``period_seconds`` of playback — the block
+        analog of PeriodicAccess (src/source/periodic.rs)."""
+        self.queue_rx.periodic_access(
+            period_seconds, fn, self._mixer.spec.sample_rate
+        )
 
     def _wrap(self, node: Node, speed: float) -> "PlayerControl":
         from ..conversions.uniform import Uniform

@@ -24,6 +24,16 @@ from ..core.types import DEFAULT_SAMPLE_RATE, StreamSpec
 from ..graph.render import compile_step
 
 
+class DoneSignal(list):
+    """One-element [bool] with an optional .callback fired on completion."""
+
+    callback = None
+
+    @property
+    def done(self) -> bool:
+        return self[0]
+
+
 class SourcesQueueInput:
     """(src/queue.rs:52-111)"""
 
@@ -34,10 +44,13 @@ class SourcesQueueInput:
     def append(self, node: Node) -> None:
         self.next_sounds.append((node, None))
 
-    def append_with_signal(self, node: Node) -> List[bool]:
-        """The done-signal: a one-element list flipped to True when the
-        sound finishes (the channel analog, src/queue.rs:79-89)."""
-        signal = [False]
+    def append_with_signal(self, node: Node,
+                           callback=None) -> "DoneSignal":
+        """The done-signal: flips to True when the sound finishes (the
+        channel analog, src/queue.rs:79-89); an optional callback fires at
+        that moment (the Done-wrapper analog, src/source/done.rs:10-32)."""
+        signal = DoneSignal([False])
+        signal.callback = callback
         self.next_sounds.append((node, signal))
         return signal
 
@@ -53,8 +66,23 @@ class SourcesQueueOutput:
     def __init__(self, input_queue: SourcesQueueInput, *, block_frames: int = 4096):
         self.input = input_queue
         self.block_frames = block_frames
-        self.current: Optional[Tuple[Node, State, Callable]] = None
+        self.current: Optional[dict] = None
         self.signal_after_end: Optional[List[bool]] = None
+        #: (period_frames, countdown, fn) periodic host hooks — the block
+        #: analog of PeriodicAccess (src/source/periodic.rs:14-86)
+        self._periodic: List[list] = []
+
+    def periodic_access(self, period_seconds: float, fn: Callable[[], None],
+                        sample_rate: int = 48000) -> None:
+        period = max(1, int(period_seconds * sample_rate))
+        self._periodic.append([period, 1, fn])
+
+    def _tick_periodic(self, frames: int) -> None:
+        for hook in self._periodic:
+            hook[1] -= frames
+            while hook[1] <= 0:
+                hook[2]()
+                hook[1] += hook[0]
 
     # -- metadata peeking (src/queue.rs:166-192) --
     def channels(self) -> int:
@@ -74,6 +102,9 @@ class SourcesQueueOutput:
     def _go_next(self) -> bool:
         if self.signal_after_end is not None:
             self.signal_after_end[0] = True
+            cb = getattr(self.signal_after_end, "callback", None)
+            if cb is not None:
+                cb()
             self.signal_after_end = None
         if not self.input.next_sounds:
             self.current = None
@@ -116,6 +147,11 @@ class SourcesQueueOutput:
         the mid-stream switch of the reference, at sample resolution.
         """
         n = n or self.block_frames
+        out, alive = self._next_block_inner(n)
+        self._tick_periodic(n)
+        return out, alive
+
+    def _next_block_inner(self, n: int):
         channels = self.channels()
         out = np.zeros((channels, n), dtype=np.float32)
         filled = 0

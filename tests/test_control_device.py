@@ -276,3 +276,22 @@ def test_player_live_speed_change():
     # playback continued from (approximately) the same source position
     expected_start = ramp[4800]
     assert abs(block[0][0] - expected_start) < 0.01
+
+
+def test_player_on_done_and_periodic_access():
+    from rodio_tpu.control import Player, mixer
+    from rodio_tpu.sources import SamplesBuffer
+
+    tx, rx = mixer(1, 48000)
+    player = Player.connect_new(tx, block_frames=480)
+    fired = []
+    ticks = []
+    player.periodic_access(0.02, lambda: ticks.append(1))  # every 960 frames
+    player.append(
+        SamplesBuffer(1, 48000, np.ones(1000, np.float32)),
+        on_done=lambda: fired.append(1),
+    )
+    for _ in range(6):
+        rx.next_block(480)
+    assert fired == [1]
+    assert len(ticks) >= 2
