@@ -62,11 +62,21 @@ def _decode_as(fmt: str, data: bytes, settings: Settings):
     if fmt == "vorbis":
         from .vorbis import vorbis_decode
 
-        return vorbis_decode(data)
+        try:
+            return vorbis_decode(data)
+        except Exception:
+            # Ogg container but not Vorbis (e.g. Opus): use the ffmpeg shim
+            from .native import ff_decode
+
+            return ff_decode(data)
     if fmt == "mp3":
         from .mp3 import mp3_decode
 
         return mp3_decode(data, gapless=settings.gapless)
+    if fmt in ("m4a", "opus", "ffmpeg"):
+        from .native import ff_decode
+
+        return ff_decode(data)
     raise DecoderError(f"unsupported format {fmt!r}")
 
 
@@ -103,13 +113,11 @@ def decode_bytes(data: bytes, settings: Optional[Settings] = None,
             tried.append(fmt)
     fmt = _probe(data)
     if fmt is None:
-        raise DecoderError("unrecognized audio format")
-    if fmt == "m4a":
-        raise DecoderError(
-            "m4a/aac decode not yet supported (no system decoder available)"
-        )
-    if fmt == "opus":
-        raise DecoderError("opus decode not yet supported")
+        # last resort: let ffmpeg probe (it recognizes far more containers)
+        try:
+            return _decode_as("ffmpeg", data, settings)
+        except Exception:
+            raise DecoderError("unrecognized audio format")
     if fmt in tried:
         raise DecoderError(f"failed to decode as {fmt}")
     return _decode_as(fmt, data, settings)

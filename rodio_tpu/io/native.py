@@ -16,7 +16,8 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "librodio_native.so"
-_SOURCES = ["flac.cpp", "ring.cpp"]
+_SOURCES = ["flac.cpp", "ring.cpp", "ffdec.cpp"]
+_LINK_LIBS = ["-lavformat", "-lavcodec", "-lavutil"]
 
 _lib = None
 
@@ -40,6 +41,7 @@ def build(force: bool = False) -> Path:
             "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
             *[str(_NATIVE_DIR / s) for s in _SOURCES],
             "-o", str(_LIB_PATH),
+            *_LINK_LIBS,
         ]
         proc = subprocess.run(cmd, capture_output=True, text=True)
         if proc.returncode != 0:
@@ -88,6 +90,39 @@ def lib() -> ctypes.CDLL:
             fn.restype = restype
             fn.argtypes = argtypes
     return _lib
+
+
+def ff_decode(data: bytes) -> Tuple[np.ndarray, int]:
+    """Decode any ffmpeg-supported container/codec (m4a/aac, opus, ...)
+    -> ([channels, frames] float32, sample_rate)."""
+    L = lib()
+    L.rtpu_ff_decode.restype = ctypes.c_int
+    L.rtpu_ff_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_uint), ctypes.POINTER(ctypes.c_uint),
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    out = ctypes.POINTER(ctypes.c_float)()
+    channels = ctypes.c_uint()
+    rate = ctypes.c_uint()
+    frames = ctypes.c_uint64()
+    rc = L.rtpu_ff_decode(data, len(data), ctypes.byref(out),
+                          ctypes.byref(channels), ctypes.byref(rate),
+                          ctypes.byref(frames))
+    if rc != 0:
+        raise ValueError(f"ffmpeg decode failed (code {rc})")
+    n = frames.value * channels.value
+    try:
+        pcm = np.ctypeslib.as_array(out, shape=(n,)).copy()
+    finally:
+        L.rtpu_free(out)
+    return (
+        np.ascontiguousarray(
+            pcm.reshape(frames.value, channels.value).T
+        ),
+        int(rate.value),
+    )
 
 
 def flac_decode(data: bytes) -> Tuple[np.ndarray, int]:

@@ -161,9 +161,20 @@ def test_unrecognized_format_errors(tmp_path):
         Decoder(str(p))
 
 
-def test_m4a_reports_unsupported():
-    with pytest.raises(DecoderError, match="m4a"):
-        Decoder(_asset("music.m4a"))
+@pytest.mark.parametrize("name", ["music.m4a", "RL.m4a", "monkeys.mp4a",
+                                  "music.opus"])
+def test_ffmpeg_formats_decode(name):
+    d = Decoder(_asset(name))
+    out = render(d, max_frames=48000 * 3)
+    assert np.abs(out).max() > 0.001
+
+
+def test_m4a_duration_close():
+    # the reference's symphonia value is 10.188662131 s
+    # (tests/total_duration.rs:43); ffmpeg keeps the AAC priming samples,
+    # +~5 ms
+    d = Decoder(_asset("music.m4a"))
+    assert abs(d.total_duration() - 10.188662131) < 0.006
 
 
 def test_mixed_format_graph():
