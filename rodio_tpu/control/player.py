@@ -22,7 +22,7 @@ from typing import List, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.node import Node, State, mask_block
+from ..core.node import Node, State
 from ..core.types import StreamSpec, float_dtype
 from .mixer import Mixer
 from .queue import queue

@@ -15,12 +15,12 @@ DSP remains fully compiled.
 from __future__ import annotations
 
 from collections import deque
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Optional
 
 import numpy as np
 
-from ..core.node import Node, State
-from ..core.types import DEFAULT_SAMPLE_RATE, StreamSpec
+from ..core.node import Node
+from ..core.types import DEFAULT_SAMPLE_RATE
 from ..graph.render import compile_step
 
 

@@ -8,8 +8,6 @@ the reference's 10 ms periodic_access repositioning
 """
 from __future__ import annotations
 
-from typing import List
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -12,7 +12,7 @@ from typing import Optional
 import jax.numpy as jnp
 
 from ..core.node import Node, State
-from ..core.types import StreamSpec, float_dtype
+from ..core.types import StreamSpec
 
 
 def rechannel_block(block, from_channels: int, to_channels: int):

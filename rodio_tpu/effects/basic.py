@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.node import Block, Node, State, clip_valid, mask_block
+from ..core.node import Node, State, clip_valid, mask_block
 from ..core.types import NANOS_PER_SEC, StreamSpec, duration_to_nanos, float_dtype
 
 

@@ -7,7 +7,6 @@ known) drives it block by block.
 """
 from __future__ import annotations
 
-from functools import lru_cache
 from typing import Optional
 
 import jax

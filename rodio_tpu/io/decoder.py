@@ -20,7 +20,6 @@ from typing import Optional, Union
 import numpy as np
 
 from ..core.node import Node, State
-from ..core.types import StreamSpec
 from ..sources.generators import SamplesBuffer
 
 

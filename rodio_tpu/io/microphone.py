@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import threading
 import time
-from typing import Optional
-
 import numpy as np
 
 from ..core.types import DEFAULT_SAMPLE_RATE, StreamSpec

@@ -7,10 +7,9 @@ automatically when sources are newer than the library.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

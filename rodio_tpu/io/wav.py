@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import io
 import struct
-from typing import BinaryIO, Optional, Tuple, Union
+from typing import BinaryIO, Union
 
 import numpy as np
 

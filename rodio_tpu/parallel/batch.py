@@ -12,7 +12,7 @@ lives entirely in the state pytree; one compilation serves any batch.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

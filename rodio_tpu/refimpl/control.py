@@ -7,11 +7,10 @@ against these for block-level equivalence.
 from __future__ import annotations
 
 from collections import deque
-from typing import Callable, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
-from ..core.types import DEFAULT_SAMPLE_RATE
 from .conversions import UniformSourceIterator
 from .core import Empty, Source
 from .effects import (

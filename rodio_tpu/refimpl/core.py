@@ -14,7 +14,7 @@ Durations are integer nanoseconds throughout (mirroring Rust ``Duration``).
 """
 from __future__ import annotations
 
-from typing import Callable, Iterator, List, Optional, Sequence
+from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
 

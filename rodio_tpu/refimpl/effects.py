@@ -5,7 +5,7 @@ class documents the file it models. All durations are integer nanoseconds.
 """
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 

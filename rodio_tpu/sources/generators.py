@@ -13,12 +13,12 @@ more accurate than the reference and fully parallel — no scan needed.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.node import Block, Node, State, clip_valid, mask_block
+from ..core.node import Node, State, clip_valid, mask_block
 from ..core.types import DEFAULT_SAMPLE_RATE, StreamSpec, float_dtype
 
 
