@@ -219,13 +219,13 @@ class Node:
 
         return Skippable(self)
 
-    def buffered(self) -> "Node":
-        """Render to a device-resident SamplesBuffer (materialize). The block
-        engine's graphs are replayable without caching, so this exists for
-        API parity and for cutting off expensive upstream graphs."""
-        from ..graph.render import record
+    def buffered(self):
+        """Lazy shared-cache buffering (src/source/buffered.rs): the result
+        is host-driven; clones share the cache. Use .record() for an eager
+        device-resident buffer."""
+        from ..sources.buffered import Buffered
 
-        return record(self)
+        return Buffered(self)
 
     def record(self) -> "Node":
         return self.buffered()

@@ -21,3 +21,4 @@ from .noise import (
     WhiteTriangular,
     WhiteUniform,
 )
+from .buffered import Buffered

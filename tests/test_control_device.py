@@ -295,3 +295,32 @@ def test_player_on_done_and_periodic_access():
         rx.next_block(480)
     assert fired == [1]
     assert len(ticks) >= 2
+
+
+def test_buffered_lazy_shared_cache():
+    from rodio_tpu.sources import SamplesBuffer
+    from rodio_tpu.sources.buffered import Buffered
+
+    rng2 = np.random.default_rng(9)
+    data = rng2.uniform(-1, 1, (2, 1000)).astype(np.float32)
+    buf = Buffered(SamplesBuffer(2, 48000, data), block_frames=256)
+    clone = buf.clone()
+
+    b1, alive = buf.next_block(300)
+    np.testing.assert_allclose(b1, data[:, :300], atol=1e-7)
+    assert len(buf._cache.chunks) >= 2  # only what was needed rendered
+
+    # the clone replays from the shared cache from the start
+    c1, alive = clone.next_block(300)
+    np.testing.assert_array_equal(c1, b1)
+
+    # drain past the end: zero-padded then dead
+    buf.next_block(800)
+    block, alive = buf.next_block(64)
+    assert not alive
+
+    # full materialization round-trips
+    sb = clone.to_buffer()
+    from rodio_tpu.graph import render
+
+    np.testing.assert_allclose(np.asarray(render(sb)), data, atol=1e-7)
