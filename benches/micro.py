@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rodio_tpu.utils.platform import select_platform
+
+select_platform(os.environ.get("RODIO_TPU_PLATFORM", "axon"))
+
 
 def load_music(seconds=10.0):
     from rodio_tpu.io.wav import read_wav
