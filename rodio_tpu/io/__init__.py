@@ -12,3 +12,4 @@ from .device import (
 )
 from .microphone import Microphone, MicrophoneBuilder, MicrophoneConfig
 from .sample_convert import from_f32, to_f32
+from .streaming import DeviceFeeder, StreamingFeed, StreamingWav

@@ -237,3 +237,47 @@ def test_empty_callback_fires():
     block, alive = cb.next_block(64)
     assert fired == [1]
     assert not alive
+
+
+def test_flagship_equals_per_stream_computation():
+    """The wide-channel flagship pipeline must equal the same graph
+    computed stream by stream (resample -> low_pass -> gain, summed, then
+    the master limiter)."""
+    import jax
+
+    from rodio_tpu.effects import Limit, LimitSettings
+    from rodio_tpu.effects.blt import BltFilter
+    from rodio_tpu.flagship import make_flagship
+    from rodio_tpu.sources import SamplesBuffer
+
+    n_streams, seconds = 4, 0.4
+    node, state = make_flagship(n_streams, seconds=seconds, max_block=1024,
+                                seed=11)
+    T = 512
+    step = jax.jit(lambda s: node.emit(s, T))
+    got_blocks = []
+    for _ in range(8):
+        state, out, valid = step(state)
+        got_blocks.append(np.asarray(out[:, : int(valid)]))
+    got = np.concatenate(got_blocks, axis=1)
+
+    # reconstruct per-stream inputs exactly as make_flagship builds them
+    rng2 = np.random.default_rng(11)
+    frames = int(seconds * 44100)
+    base = rng2.standard_normal((2, frames)).astype(np.float32) * 0.1
+    shifts = rng2.integers(0, frames, size=n_streams)
+    gains = rng2.uniform(0.5, 1.5, size=n_streams).astype(np.float32) / n_streams
+
+    total = None
+    for s in range(n_streams):
+        data = np.roll(base, int(shifts[s]), axis=1)
+        chain = SamplesBuffer(2, 44100, data).resample(48000)
+        chain = BltFilter(chain, "low_pass", 2000.0, 0.5)
+        chain = chain.amplify(float(gains[s]))
+        out = np.asarray(render(chain, block_frames=512))
+        total = out if total is None else total + out
+    master = Limit(SamplesBuffer(2, 48000, total), LimitSettings())
+    expected = np.asarray(render(master, block_frames=512))
+
+    n = min(got.shape[1], expected.shape[1])
+    np.testing.assert_allclose(got[:, :n], expected[:, :n], atol=3e-6)

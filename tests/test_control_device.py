@@ -324,3 +324,29 @@ def test_buffered_lazy_shared_cache():
     from rodio_tpu.graph import render
 
     np.testing.assert_allclose(np.asarray(render(sb)), data, atol=1e-7)
+
+
+def test_streaming_wav_matches_full_decode():
+    from rodio_tpu.io.streaming import DeviceFeeder, StreamingWav
+    from rodio_tpu.io.wav import read_wav
+
+    path = "/root/reference/assets/music.wav"
+    full, rate = read_wav(path)
+    sw = StreamingWav(path, chunk_frames=4000, buffer_seconds=0.2)
+    assert sw.spec.sample_rate == rate
+    blocks = []
+    while True:
+        block, alive = sw.next_block(4096)
+        if not alive:
+            break
+        blocks.append(block)
+    got = np.concatenate(blocks, axis=1)[:, : full.shape[1]]
+    np.testing.assert_array_equal(got, full)
+
+    # double-buffered device feed path
+    sw2 = StreamingWav(path, chunk_frames=4000)
+    feeder = DeviceFeeder(sw2, 4096)
+    b1, alive = feeder.next_device_block()
+    b2, alive = feeder.next_device_block()
+    np.testing.assert_array_equal(np.asarray(b1), full[:, :4096])
+    np.testing.assert_array_equal(np.asarray(b2), got[:, 4096:8192])
