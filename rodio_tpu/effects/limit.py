@@ -139,14 +139,27 @@ class Limit(Node):
         db = limiter_gain_db(
             x, dt(self.threshold), dt(self.knee_width), dt(self.inv_knee_8)
         )  # [C, T]
-        integ = max_affine_scan(
-            db, (1.0 - rel) * db, jnp.full_like(db, rel), state["integ"],
-            mode=self.mode,
-        )
-        peak = linear_scan(
-            jnp.full_like(integ, att), (1.0 - att) * integ, state["peak"],
-            mode=self.mode,
-        )  # [C, T]
+        if self.mode == "pallas":
+            from ..ops.pallas_scan import first_order_pallas
+
+            interp = jax.default_backend() != "tpu"
+            integ = first_order_pallas(
+                db, (1.0 - rel) * db, state["integ"],
+                c=jnp.full_like(db, rel), op="max_affine", interpret=interp,
+            )
+            peak = first_order_pallas(
+                jnp.full_like(integ, att), (1.0 - att) * integ,
+                state["peak"], op="linear", interpret=interp,
+            )
+        else:
+            integ = max_affine_scan(
+                db, (1.0 - rel) * db, jnp.full_like(db, rel), state["integ"],
+                mode=self.mode,
+            )
+            peak = linear_scan(
+                jnp.full_like(integ, att), (1.0 - att) * integ, state["peak"],
+                mode=self.mode,
+            )  # [C, T]
 
         c = self.spec.channels
         cg = c // self.streams

@@ -77,6 +77,85 @@ def _biquad_kernel(x_ref, c_ref, state_ref, y_ref, out_state_ref, carry,
         out_state_ref[...] = carry[...].reshape(4, LANES).T
 
 
+def _first_order_kernel(a_ref, b_ref, c_ref, state_ref, y_ref, out_state_ref,
+                        carry, *, t_chunk: int, op: str):
+    """Generic first-order recurrence over one (lane_group, time_chunk):
+    linear:     y = a_t * y_prev + b_t
+    max_affine: y = max(a_t, b_t + c_t * y_prev)
+    """
+    t_idx = pl.program_id(1)
+    n_t = pl.num_programs(1)
+
+    @pl.when(t_idx == 0)
+    def _load():
+        carry[...] = state_ref[...].reshape(8, 128)
+
+    at = a_ref[...].T.reshape(t_chunk, 8, 128)
+    bt = b_ref[...].T.reshape(t_chunk, 8, 128)
+    ct = c_ref[...].T.reshape(t_chunk, 8, 128)
+
+    def step(t, acc):
+        y, ybuf = acc
+        if op == "linear":
+            y = at[t] * y + bt[t]
+        else:
+            y = jnp.maximum(at[t], bt[t] + ct[t] * y)
+        ybuf = jax.lax.dynamic_update_index_in_dim(ybuf, y, t, 0)
+        return (y, ybuf)
+
+    init = (carry[...], jnp.zeros((t_chunk, 8, 128), dtype=a_ref.dtype))
+    y, ybuf = jax.lax.fori_loop(0, t_chunk, step, init)
+    y_ref[...] = ybuf.reshape(t_chunk, LANES).T
+    carry[...] = y
+
+    @pl.when(t_idx == n_t - 1)
+    def _store():
+        out_state_ref[...] = carry[...].reshape(LANES)
+
+
+@functools.partial(jax.jit, static_argnames=("t_chunk", "interpret", "op"))
+def first_order_pallas(a, b, init, *, c=None, op: str = "linear",
+                       t_chunk: int = 512, interpret: bool = False):
+    """Fused first-order recurrence: a, b, (c): [L, T]; init: [L].
+
+    Returns y [L, T] (the recurrence outputs; carry = y[:, -1]).
+    Pad-safe: trailing padded steps would corrupt the in-kernel carry, so
+    the caller uses y[:, T-1] as the true carry.
+    """
+    L, T = a.shape
+    dt = a.dtype
+    Lp = -(-L // LANES) * LANES
+    Tp = -(-T // t_chunk) * t_chunk
+
+    def padded(v, fill=0.0):
+        return jnp.pad(v, ((0, Lp - L), (0, Tp - T)),
+                       constant_values=fill)
+
+    ap = padded(a)
+    bp = padded(b)
+    cp = padded(c if c is not None else jnp.zeros_like(a))
+    st = jnp.pad(init, (0, Lp - L))
+
+    grid = (Lp // LANES, Tp // t_chunk)
+    spec = pl.BlockSpec((LANES, t_chunk), lambda i, t: (i, t),
+                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    sspec = pl.BlockSpec((LANES,), lambda i, t: (i,),
+                         memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    y, _ = pl.pallas_call(
+        functools.partial(_first_order_kernel, t_chunk=t_chunk, op=op),
+        grid=grid,
+        in_specs=[spec, spec, spec, sspec],
+        out_specs=(spec, sspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Lp, Tp), dt),
+            jax.ShapeDtypeStruct((Lp,), dt),
+        ),
+        scratch_shapes=[pltpu.VMEM((8, 128), dt)],
+        interpret=interpret,
+    )(ap, bp, cp, st)
+    return y[:L, :T]
+
+
 @functools.partial(jax.jit, static_argnames=("t_chunk", "interpret"))
 def biquad_df1_pallas(x, coeffs, state, *, t_chunk: int = 512,
                       interpret: bool = False):

@@ -537,3 +537,15 @@ def test_limit_wide_stream_groups(rng):
     got = np.asarray(render(node, block_frames=512))
     for s in range(S):
         np.testing.assert_allclose(got[s * C : (s + 1) * C], per[s], atol=1e-6)
+
+
+def test_limit_pallas_mode(rng):
+    """Pallas-kernel limiter equals the exact scan bit-for-bit."""
+    data = (rng.uniform(-1, 1, (2, 3000)) * 2.0).astype(np.float32)
+    exact = np.asarray(render(
+        Limit(SamplesBuffer(2, 44100, data), LimitSettings(), mode="exact"),
+        block_frames=512))
+    pal = np.asarray(render(
+        Limit(SamplesBuffer(2, 44100, data), LimitSettings(), mode="pallas"),
+        block_frames=512))
+    np.testing.assert_array_equal(pal, exact)
