@@ -142,6 +142,15 @@ class AutomaticGainControl(Node):
             )
             peak_seq = peak_seq.T  # [S, M]
             sum_seq = sum_seq.T
+        elif self.mode == "pallas":
+            from ..ops.pallas_scan import first_order_pallas
+
+            interp = jax.default_backend() != "tpu"
+            peak_seq = first_order_pallas(
+                xs, (1.0 - rel) * xs, state["peak"],
+                c=jnp.full_like(xs, rel), op="max_affine", interpret=interp,
+            )
+            sum_seq = state["rms_sum"][:, None] + jnp.cumsum(sq - old, axis=1)
         else:
             from ..ops.scan import max_affine_scan
 
@@ -159,14 +168,25 @@ class AutomaticGainControl(Node):
         desired = jnp.maximum(jnp.minimum(rms_gain, peak_gain), floor)
 
         # --- sequential gain smoothing (data-dependent branch + clamp) ---
-        def gain_step(g, d):
-            speed = jnp.where(d > g, att, rel)
-            g = g * speed + d * (1.0 - speed)
-            g = jnp.clip(g, dt(0.1), max_gain)
-            return g, g
+        if self.mode == "pallas":
+            from ..ops.pallas_scan import first_order_pallas
 
-        _, gain_seq = jax.lax.scan(gain_step, state["gain"], desired.T)
-        gain_seq = gain_seq.T  # [S, M]
+            interp = jax.default_backend() != "tpu"
+            gain_seq = first_order_pallas(
+                desired, jnp.zeros_like(desired), state["gain"],
+                op="agc_gain",
+                params=(float(att), float(rel), float(max_gain)),
+                interpret=interp,
+            )  # [S, M]
+        else:
+            def gain_step(g, d):
+                speed = jnp.where(d > g, att, rel)
+                g = g * speed + d * (1.0 - speed)
+                g = jnp.clip(g, dt(0.1), max_gain)
+                return g, g
+
+            _, gain_seq = jax.lax.scan(gain_step, state["gain"], desired.T)
+            gain_seq = gain_seq.T  # [S, M]
 
         y = (xg * gain_seq).reshape(S, t, cg).transpose(0, 2, 1)
         y = y.reshape(c_total, t)

@@ -78,10 +78,13 @@ def _biquad_kernel(x_ref, c_ref, state_ref, y_ref, out_state_ref, carry,
 
 
 def _first_order_kernel(a_ref, b_ref, c_ref, state_ref, y_ref, out_state_ref,
-                        carry, *, t_chunk: int, op: str):
+                        carry, *, t_chunk: int, op: str, params=()):
     """Generic first-order recurrence over one (lane_group, time_chunk):
     linear:     y = a_t * y_prev + b_t
     max_affine: y = max(a_t, b_t + c_t * y_prev)
+    agc_gain:   speed = att if a_t > y_prev else rel;
+                y = clip(y_prev*speed + a_t*(1-speed), 0.1, max_gain)
+                with params = (att, rel, max_gain)  (src/source/agc.rs:486-496)
     """
     t_idx = pl.program_id(1)
     n_t = pl.num_programs(1)
@@ -98,8 +101,15 @@ def _first_order_kernel(a_ref, b_ref, c_ref, state_ref, y_ref, out_state_ref,
         y, ybuf = acc
         if op == "linear":
             y = at[t] * y + bt[t]
-        else:
+        elif op == "max_affine":
             y = jnp.maximum(at[t], bt[t] + ct[t] * y)
+        elif op == "agc_gain":
+            att, rel, max_gain = params
+            d = at[t]
+            speed = jnp.where(d > y, att, rel)
+            y = jnp.clip(y * speed + d * (1.0 - speed), 0.1, max_gain)
+        else:
+            raise ValueError(op)
         ybuf = jax.lax.dynamic_update_index_in_dim(ybuf, y, t, 0)
         return (y, ybuf)
 
@@ -113,9 +123,11 @@ def _first_order_kernel(a_ref, b_ref, c_ref, state_ref, y_ref, out_state_ref,
         out_state_ref[...] = carry[...].reshape(LANES)
 
 
-@functools.partial(jax.jit, static_argnames=("t_chunk", "interpret", "op"))
+@functools.partial(jax.jit,
+                   static_argnames=("t_chunk", "interpret", "op", "params"))
 def first_order_pallas(a, b, init, *, c=None, op: str = "linear",
-                       t_chunk: int = 512, interpret: bool = False):
+                       params=(), t_chunk: int = 512,
+                       interpret: bool = False):
     """Fused first-order recurrence: a, b, (c): [L, T]; init: [L].
 
     Returns y [L, T] (the recurrence outputs; carry = y[:, -1]).
@@ -142,7 +154,8 @@ def first_order_pallas(a, b, init, *, c=None, op: str = "linear",
     sspec = pl.BlockSpec((LANES,), lambda i, t: (i,),
                          memory_space=pltpu.ANY if interpret else pltpu.VMEM)
     y, _ = pl.pallas_call(
-        functools.partial(_first_order_kernel, t_chunk=t_chunk, op=op),
+        functools.partial(_first_order_kernel, t_chunk=t_chunk, op=op,
+                          params=params),
         grid=grid,
         in_specs=[spec, spec, spec, sspec],
         out_specs=(spec, sspec),

@@ -549,3 +549,15 @@ def test_limit_pallas_mode(rng):
         Limit(SamplesBuffer(2, 44100, data), LimitSettings(), mode="pallas"),
         block_frames=512))
     np.testing.assert_array_equal(pal, exact)
+
+
+def test_agc_pallas_mode(rng):
+    """Pallas-mode AGC stays close to exact (cumsum RMS reordering only)."""
+    data = rng.uniform(-0.4, 0.4, (2, 6000)).astype(np.float32)
+    exact = np.asarray(render(
+        AutomaticGainControl(SamplesBuffer(2, 44100, data), AgcSettings(),
+                             mode="exact"), block_frames=1024))
+    pal = np.asarray(render(
+        AutomaticGainControl(SamplesBuffer(2, 44100, data), AgcSettings(),
+                             mode="pallas"), block_frames=1024))
+    np.testing.assert_allclose(pal, exact, atol=1e-4)
