@@ -46,7 +46,7 @@ def _run_scan(node, state, T, n_blocks):
 def main():
     n_streams = int(os.environ.get("BENCH_STREAMS", "512"))
     T = int(os.environ.get("BENCH_BLOCK", "4096"))
-    scan_mode = os.environ.get("BENCH_SCAN_MODE", "exact")
+    scan_mode = os.environ.get("BENCH_SCAN_MODE", "pallas")
     n1 = int(os.environ.get("BENCH_N1", "10"))
     n2 = int(os.environ.get("BENCH_N2", "60"))
 

@@ -27,7 +27,7 @@ from rodio_tpu.utils.platform import select_platform
 select_platform(os.environ.get("RODIO_TPU_PLATFORM", "axon"))
 
 
-def load_music(seconds=10.0):
+def load_music(seconds=30.0):
     from rodio_tpu.io.wav import read_wav
 
     pcm, rate = read_wav("/root/reference/assets/music.wav")
@@ -37,8 +37,9 @@ def load_music(seconds=10.0):
     return pcm[:, :frames], rate
 
 
-def time_node(node, T=4096, n1=4, n2=16):
-    """Differential scan timing -> seconds per block."""
+def time_node(node, T=4096, n1=20, n2=220, repeats=3):
+    """Differential scan timing -> seconds per block (min over repeats to
+    reject host/transport jitter)."""
 
     def mk(N):
         def body(s, _):
@@ -50,19 +51,28 @@ def time_node(node, T=4096, n1=4, n2=16):
         )
         state = node.init_state()
         float(run(state))
-        t0 = time.perf_counter()
-        float(run(state))
-        return time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(run(state))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    return (mk(n2) - mk(n1)) / (n2 - n1)
+    per = (mk(n2) - mk(n1)) / (n2 - n1)
+    # the host<->device transport has ~ms-scale jitter; marginals below a
+    # few microseconds per block are not resolvable — floor them so cheap
+    # ops report an honest lower bound instead of noise
+    return max(per, 2e-6)
 
 
 def bench_cases(which):
     from rodio_tpu.effects import (
         AgcSettings,
         AutomaticGainControl,
+        Limit,
         LimitSettings,
     )
+    from rodio_tpu.effects.blt import BltFilter
     from rodio_tpu.sources.generators import SamplesBuffer
 
     pcm, rate = load_music()
@@ -77,13 +87,17 @@ def bench_cases(which):
         # (benches/effects.rs:14-68)
         cases = {
             "amplify": lambda: src().amplify(0.8),
-            "high_pass": lambda: src().high_pass(200.0),
+            "high_pass": lambda: BltFilter(
+                src(), "high_pass", 200.0, 0.5, mode="pallas"
+            ),
             "fade_out": lambda: src().fade_out(10.0),
             "reverb": lambda: src().reverb(0.05, 0.3),
             "agc_enabled": lambda: AutomaticGainControl(
-                src(), AgcSettings(), mode="parallel"
+                src(), AgcSettings(), mode="pallas"
             ),
-            "limiter": lambda: src().amplify(2.0).limit(LimitSettings()),
+            "limiter": lambda: Limit(
+                src().amplify(2.0), LimitSettings(), mode="pallas"
+            ),
         }
         for name, mk in cases.items():
             per = time_node(mk(), T)
@@ -144,6 +158,8 @@ def main():
     for name, mult in sorted(results.items()):
         line = {"bench": name, "value": round(mult, 1),
                 "unit": "x realtime (single stream)"}
+        if mult >= (4096 / 48000) / 2.5e-6:
+            line["note"] = "lower bound (below timing resolution)"
         print(json.dumps(line))
     if not args.json:
         worst = min(results.values()) if results else 0

@@ -3,17 +3,18 @@
 XLA's `lax.scan` pays a fixed per-iteration cost that dominates thin-body
 audio recurrences (a few microseconds per time step for [lanes]-wide
 elementwise work). These kernels run the whole recurrence inside ONE
-Mosaic kernel with VMEM-resident data and register-resident carries:
+Mosaic kernel with VMEM-resident data and register/VMEM carries:
 
 - the lane axis is shaped to (8, 128) so every time step is a single full
   VPU vreg operation,
 - time is chunked over a sequential grid dimension; carries live in VMEM
   scratch across grid steps (the standard TPU sequential-grid pattern),
-- input arrives lane-major [L, T] and is transposed chunk-wise in VMEM.
+- per-step access goes through VMEM scratch REFS (Mosaic supports dynamic
+  indexing on refs, not on values), with chunk-wise transposes between the
+  lane-major block layout and the time-major scratch layout.
 
-Currently implemented: biquad direct-form-I (the reference's hottest IIR,
-src/source/blt.rs:556-561). The same skeleton extends to the limiter and
-AGC envelope recurrences.
+Kernels: biquad direct-form-I (src/source/blt.rs:556-561) and a generic
+first-order recurrence family (linear / max-affine / the AGC gain update).
 """
 from __future__ import annotations
 
@@ -27,14 +28,15 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 1024  # 8 sublanes x 128 lanes = one f32 vreg per time step
 
 
-def _biquad_kernel(x_ref, c_ref, state_ref, y_ref, out_state_ref, carry,
-                   *, t_chunk: int):
+def _biquad_kernel(x_ref, c_ref, state_ref, y_ref, out_state_ref,
+                   carry, x_scr, y_scr, *, t_chunk: int):
     """One (lane_group, time_chunk) grid step.
 
     x_ref/y_ref: [LANES, t_chunk] VMEM blocks (lane-major).
     c_ref: [8] SMEM coefficients b0 b1 b2 a1 a2 (padded).
     state_ref/out_state_ref: [LANES, 4] carries (x1, x2, y1, y2).
     carry: [4, 8, 128] VMEM scratch persisting across the time grid.
+    x_scr/y_scr: [t_chunk, 8, 128] time-major staging scratch.
     """
     t_idx = pl.program_id(1)
     n_t = pl.num_programs(1)
@@ -47,26 +49,22 @@ def _biquad_kernel(x_ref, c_ref, state_ref, y_ref, out_state_ref, carry,
 
     @pl.when(t_idx == 0)
     def _load_state():
-        st = state_ref[...]  # [LANES, 4]
-        carry[...] = st.T.reshape(4, 8, 128)
+        carry[...] = state_ref[...].T.reshape(4, 8, 128)
 
-    # time-major view of this chunk: [t_chunk, 8, 128]
-    xt = x_ref[...].T.reshape(t_chunk, 8, 128)
+    # stage this chunk time-major
+    x_scr[...] = x_ref[...].T.reshape(t_chunk, 8, 128)
 
     def step(t, acc):
-        x1, x2, y1, y2, ybuf = acc
-        xcur = xt[t]
+        x1, x2, y1, y2 = acc
+        xcur = x_scr[t]
         y = b0 * xcur + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
-        ybuf = jax.lax.dynamic_update_index_in_dim(ybuf, y, t, 0)
-        return (xcur, x1, y, y1, ybuf)
+        y_scr[t] = y
+        return (xcur, x1, y, y1)
 
-    init = (
-        carry[0], carry[1], carry[2], carry[3],
-        jnp.zeros((t_chunk, 8, 128), dtype=x_ref.dtype),
-    )
-    x1, x2, y1, y2, ybuf = jax.lax.fori_loop(0, t_chunk, step, init)
+    init = (carry[0], carry[1], carry[2], carry[3])
+    x1, x2, y1, y2 = jax.lax.fori_loop(0, t_chunk, step, init)
 
-    y_ref[...] = ybuf.reshape(t_chunk, LANES).T
+    y_ref[...] = y_scr[...].reshape(t_chunk, LANES).T
     carry[0] = x1
     carry[1] = x2
     carry[2] = y1
@@ -75,98 +73,6 @@ def _biquad_kernel(x_ref, c_ref, state_ref, y_ref, out_state_ref, carry,
     @pl.when(t_idx == n_t - 1)
     def _store_state():
         out_state_ref[...] = carry[...].reshape(4, LANES).T
-
-
-def _first_order_kernel(a_ref, b_ref, c_ref, state_ref, y_ref, out_state_ref,
-                        carry, *, t_chunk: int, op: str, params=()):
-    """Generic first-order recurrence over one (lane_group, time_chunk):
-    linear:     y = a_t * y_prev + b_t
-    max_affine: y = max(a_t, b_t + c_t * y_prev)
-    agc_gain:   speed = att if a_t > y_prev else rel;
-                y = clip(y_prev*speed + a_t*(1-speed), 0.1, max_gain)
-                with params = (att, rel, max_gain)  (src/source/agc.rs:486-496)
-    """
-    t_idx = pl.program_id(1)
-    n_t = pl.num_programs(1)
-
-    @pl.when(t_idx == 0)
-    def _load():
-        carry[...] = state_ref[...].reshape(8, 128)
-
-    at = a_ref[...].T.reshape(t_chunk, 8, 128)
-    bt = b_ref[...].T.reshape(t_chunk, 8, 128)
-    ct = c_ref[...].T.reshape(t_chunk, 8, 128)
-
-    def step(t, acc):
-        y, ybuf = acc
-        if op == "linear":
-            y = at[t] * y + bt[t]
-        elif op == "max_affine":
-            y = jnp.maximum(at[t], bt[t] + ct[t] * y)
-        elif op == "agc_gain":
-            att, rel, max_gain = params
-            d = at[t]
-            speed = jnp.where(d > y, att, rel)
-            y = jnp.clip(y * speed + d * (1.0 - speed), 0.1, max_gain)
-        else:
-            raise ValueError(op)
-        ybuf = jax.lax.dynamic_update_index_in_dim(ybuf, y, t, 0)
-        return (y, ybuf)
-
-    init = (carry[...], jnp.zeros((t_chunk, 8, 128), dtype=a_ref.dtype))
-    y, ybuf = jax.lax.fori_loop(0, t_chunk, step, init)
-    y_ref[...] = ybuf.reshape(t_chunk, LANES).T
-    carry[...] = y
-
-    @pl.when(t_idx == n_t - 1)
-    def _store():
-        out_state_ref[...] = carry[...].reshape(LANES)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("t_chunk", "interpret", "op", "params"))
-def first_order_pallas(a, b, init, *, c=None, op: str = "linear",
-                       params=(), t_chunk: int = 512,
-                       interpret: bool = False):
-    """Fused first-order recurrence: a, b, (c): [L, T]; init: [L].
-
-    Returns y [L, T] (the recurrence outputs; carry = y[:, -1]).
-    Pad-safe: trailing padded steps would corrupt the in-kernel carry, so
-    the caller uses y[:, T-1] as the true carry.
-    """
-    L, T = a.shape
-    dt = a.dtype
-    Lp = -(-L // LANES) * LANES
-    Tp = -(-T // t_chunk) * t_chunk
-
-    def padded(v, fill=0.0):
-        return jnp.pad(v, ((0, Lp - L), (0, Tp - T)),
-                       constant_values=fill)
-
-    ap = padded(a)
-    bp = padded(b)
-    cp = padded(c if c is not None else jnp.zeros_like(a))
-    st = jnp.pad(init, (0, Lp - L))
-
-    grid = (Lp // LANES, Tp // t_chunk)
-    spec = pl.BlockSpec((LANES, t_chunk), lambda i, t: (i, t),
-                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
-    sspec = pl.BlockSpec((LANES,), lambda i, t: (i,),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM)
-    y, _ = pl.pallas_call(
-        functools.partial(_first_order_kernel, t_chunk=t_chunk, op=op,
-                          params=params),
-        grid=grid,
-        in_specs=[spec, spec, spec, sspec],
-        out_specs=(spec, sspec),
-        out_shape=(
-            jax.ShapeDtypeStruct((Lp, Tp), dt),
-            jax.ShapeDtypeStruct((Lp,), dt),
-        ),
-        scratch_shapes=[pltpu.VMEM((8, 128), dt)],
-        interpret=interpret,
-    )(ap, bp, cp, st)
-    return y[:L, :T]
 
 
 @functools.partial(jax.jit, static_argnames=("t_chunk", "interpret"))
@@ -206,7 +112,11 @@ def biquad_df1_pallas(x, coeffs, state, *, t_chunk: int = 512,
             jax.ShapeDtypeStruct((Lp, Tp), dt),
             jax.ShapeDtypeStruct((Lp, 4), dt),
         ),
-        scratch_shapes=[pltpu.VMEM((4, 8, 128), dt)],
+        scratch_shapes=[
+            pltpu.VMEM((4, 8, 128), dt),
+            pltpu.VMEM((t_chunk, 8, 128), dt),
+            pltpu.VMEM((t_chunk, 8, 128), dt),
+        ],
         interpret=interpret,
     )(xp, c, st)
     y = y[:L, :T]
@@ -217,3 +127,101 @@ def biquad_df1_pallas(x, coeffs, state, *, t_chunk: int = 512,
     else:
         new_state = tuple(out_state[:L, i] for i in range(4))
     return y, new_state
+
+
+def _first_order_kernel(a_ref, b_ref, c_ref, state_ref, y_ref, out_state_ref,
+                        carry, a_scr, b_scr, c_scr, y_scr,
+                        *, t_chunk: int, op: str, params=()):
+    """Generic first-order recurrence over one (lane_group, time_chunk):
+    linear:     y = a_t * y_prev + b_t
+    max_affine: y = max(a_t, b_t + c_t * y_prev)
+    agc_gain:   speed = att if a_t > y_prev else rel;
+                y = clip(y_prev*speed + a_t*(1-speed), 0.1, max_gain)
+                with params = (att, rel, max_gain)  (src/source/agc.rs:486-496)
+    """
+    t_idx = pl.program_id(1)
+    n_t = pl.num_programs(1)
+
+    @pl.when(t_idx == 0)
+    def _load():
+        carry[...] = state_ref[...].reshape(8, 128)
+
+    a_scr[...] = a_ref[...].T.reshape(t_chunk, 8, 128)
+    if op != "agc_gain":
+        b_scr[...] = b_ref[...].T.reshape(t_chunk, 8, 128)
+    if op == "max_affine":
+        c_scr[...] = c_ref[...].T.reshape(t_chunk, 8, 128)
+
+    def step(t, y):
+        if op == "linear":
+            y = a_scr[t] * y + b_scr[t]
+        elif op == "max_affine":
+            y = jnp.maximum(a_scr[t], b_scr[t] + c_scr[t] * y)
+        elif op == "agc_gain":
+            att, rel, max_gain = params
+            d = a_scr[t]
+            speed = jnp.where(d > y, att, rel)
+            y = jnp.clip(y * speed + d * (1.0 - speed), 0.1, max_gain)
+        else:
+            raise ValueError(op)
+        y_scr[t] = y
+        return y
+
+    y = jax.lax.fori_loop(0, t_chunk, step, carry[...])
+    y_ref[...] = y_scr[...].reshape(t_chunk, LANES).T
+    carry[...] = y
+
+    @pl.when(t_idx == n_t - 1)
+    def _store():
+        out_state_ref[...] = carry[...].reshape(LANES)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("t_chunk", "interpret", "op", "params"))
+def first_order_pallas(a, b, init, *, c=None, op: str = "linear",
+                       params=(), t_chunk: int = 256,
+                       interpret: bool = False):
+    """Fused first-order recurrence: a, b, (c): [L, T]; init: [L].
+
+    Returns y [L, T] (the recurrence outputs; carry = y[:, -1]).
+    Pad-safe: trailing padded steps would corrupt the in-kernel carry, so
+    the caller uses y[:, T-1] as the true carry.
+    """
+    L, T = a.shape
+    dt = a.dtype
+    Lp = -(-L // LANES) * LANES
+    Tp = -(-T // t_chunk) * t_chunk
+
+    def padded(v):
+        return jnp.pad(v, ((0, Lp - L), (0, Tp - T)))
+
+    ap = padded(a)
+    bp = padded(b)
+    cp = padded(c if c is not None else jnp.zeros_like(a))
+    st = jnp.pad(init, (0, Lp - L))
+
+    grid = (Lp // LANES, Tp // t_chunk)
+    spec = pl.BlockSpec((LANES, t_chunk), lambda i, t: (i, t),
+                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    sspec = pl.BlockSpec((LANES,), lambda i, t: (i,),
+                         memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    y, _ = pl.pallas_call(
+        functools.partial(_first_order_kernel, t_chunk=t_chunk, op=op,
+                          params=params),
+        grid=grid,
+        in_specs=[spec, spec, spec, sspec],
+        out_specs=(spec, sspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Lp, Tp), dt),
+            jax.ShapeDtypeStruct((Lp,), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), dt),
+            pltpu.VMEM((t_chunk, 8, 128), dt),
+            pltpu.VMEM((t_chunk, 8, 128), dt),
+            pltpu.VMEM((t_chunk, 8, 128), dt),
+            pltpu.VMEM((t_chunk, 8, 128), dt),
+        ],
+        interpret=interpret,
+    )(ap, bp, cp, st)
+    return y[:L, :T]
