@@ -39,6 +39,21 @@ class Settings:
     seekable: bool = True
 
 
+#: user-registered codecs: name -> (probe(bytes)->bool, decode(bytes)->(pcm, rate))
+#: the third-party-codec extension point (the pluggable CodecRegistry analog,
+#: src/decoder/builder.rs:61)
+_CUSTOM_CODECS = {}
+
+
+def register_codec(name: str, probe, decode, *,
+                   extensions: tuple = ()) -> None:
+    """Register a third-party codec: ``probe(data) -> bool`` and
+    ``decode(data) -> ([channels, frames] f32, sample_rate)``."""
+    _CUSTOM_CODECS[name] = (probe, decode)
+    for ext in extensions:
+        _EXT_TO_FORMAT["." + ext.lstrip(".").lower()] = name
+
+
 _EXT_TO_FORMAT = {
     ".wav": "wav", ".wave": "wav",
     ".flac": "flac",
@@ -50,6 +65,8 @@ _EXT_TO_FORMAT = {
 
 
 def _decode_as(fmt: str, data: bytes, settings: Settings):
+    if fmt in _CUSTOM_CODECS:
+        return _CUSTOM_CODECS[fmt][1](data)
     if fmt == "wav":
         from .wav import read_wav
 
@@ -80,6 +97,12 @@ def _decode_as(fmt: str, data: bytes, settings: Settings):
 
 
 def _probe(data: bytes) -> Optional[str]:
+    for name, (probe, _) in _CUSTOM_CODECS.items():
+        try:
+            if probe(data):
+                return name
+        except Exception:
+            pass
     from .mp3 import mp3_probe
     from .native import flac_probe
     from .vorbis import vorbis_probe

@@ -116,6 +116,9 @@ class MixerDeviceSink:
         self._running = False
         self._thread: Optional[threading.Thread] = None
         self.log_on_drop = True
+        #: invoked with the exception if the playback thread fails — the
+        #: stream error callback analog (src/stream.rs:382-391)
+        self.on_error: Optional[Callable[[Exception], None]] = None
 
     def mixer(self) -> Mixer:
         return self._mixer
@@ -130,12 +133,19 @@ class MixerDeviceSink:
 
     def _run(self):
         n = self.config.buffer_frames
-        while self._running:
-            block, _alive = self._source.next_block(n)
-            interleaved = np.asarray(block).T.reshape(-1)
-            if self.config.dtype != np.float32:
-                interleaved = from_f32(interleaved, self.config.dtype)
-            self._backend.write(interleaved, self.config)
+        try:
+            while self._running:
+                block, _alive = self._source.next_block(n)
+                interleaved = np.asarray(block).T.reshape(-1)
+                if self.config.dtype != np.float32:
+                    interleaved = from_f32(interleaved, self.config.dtype)
+                self._backend.write(interleaved, self.config)
+        except Exception as e:
+            from ..utils.trace import log_event
+
+            log_event("device_sink_error", error=repr(e))
+            if self.on_error is not None:
+                self.on_error(e)
 
     def render_blocks(self, n_blocks: int) -> None:
         """Synchronous drive (no thread): pull n device buffers through the

@@ -32,10 +32,15 @@ class SignalGenerator(Node):
     Mono, infinite, codomain [-1, 1] (src/source/signal_generator.rs:73-170).
     """
 
-    def __init__(self, sample_rate: int, frequency: float, function: str):
+    def __init__(self, sample_rate: int, frequency: float, function):
+        """``function`` is a name or a callable phase->sample over jnp
+        arrays (the GeneratorFunction extension point,
+        src/source/signal_generator.rs:36)."""
         if frequency <= 0.0:
             raise ValueError("frequency must be greater than zero")
-        if function not in ("sine", "triangle", "square", "sawtooth"):
+        if not callable(function) and function not in (
+            "sine", "triangle", "square", "sawtooth"
+        ):
             raise ValueError(f"unknown generator function {function!r}")
         self.spec = StreamSpec(1, sample_rate)
         self.frequency = float(frequency)
@@ -60,7 +65,9 @@ class SignalGenerator(Node):
         return {"phase": jnp.asarray(_frac64(seek), dtype=float_dtype())}
 
     @staticmethod
-    def waveform(function: str, phase):
+    def waveform(function, phase):
+        if callable(function):
+            return function(phase)
         if function == "sine":
             return jnp.sin(2.0 * np.pi * phase)
         if function == "triangle":

@@ -189,3 +189,40 @@ def test_mixed_format_graph():
     block, alive = rx.next_block(4096)
     assert alive
     assert np.abs(block).max() > 0.001
+
+
+def test_register_custom_codec():
+    """Third-party codec extension point (pluggable registry analog)."""
+    from rodio_tpu.io.decoder import _CUSTOM_CODECS, register_codec
+
+    def probe(data):
+        return data[:4] == b"MYFM"
+
+    def decode(data):
+        n = (len(data) - 4) // 4
+        pcm = np.frombuffer(data[4 : 4 + n * 4], dtype="<f4")
+        return pcm.reshape(1, -1), 8000
+
+    register_codec("myfmt", probe, decode, extensions=("myf",))
+    try:
+        payload = b"MYFM" + np.arange(64, dtype="<f4").tobytes()
+        d = Decoder(payload)
+        assert d.spec.sample_rate == 8000
+        out = render(d)
+        np.testing.assert_array_equal(out[0], np.arange(64, dtype=np.float32))
+    finally:
+        _CUSTOM_CODECS.clear()
+
+
+def test_custom_generator_function():
+    import jax.numpy as jnp
+
+    from rodio_tpu.sources.generators import SignalGenerator
+
+    gen = SignalGenerator(48000, 1000.0, lambda p: jnp.cos(2 * np.pi * p))
+    out = render(gen, max_frames=48)
+    np.testing.assert_allclose(
+        out[0],
+        np.cos(2 * np.pi * ((np.arange(48) * 1000 / 48000) % 1.0)),
+        atol=1e-5,
+    )
