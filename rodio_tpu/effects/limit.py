@@ -140,16 +140,12 @@ class Limit(Node):
             x, dt(self.threshold), dt(self.knee_width), dt(self.inv_knee_8)
         )  # [C, T]
         if self.mode == "pallas":
-            from ..ops.pallas_scan import first_order_pallas
+            from ..ops.pallas_scan import limiter_env_pallas
 
             interp = jax.default_backend() != "tpu"
-            integ = first_order_pallas(
-                db, (1.0 - rel) * db, state["integ"],
-                c=jnp.full_like(db, rel), op="max_affine", interpret=interp,
-            )
-            peak = first_order_pallas(
-                jnp.full_like(integ, att), (1.0 - att) * integ,
-                state["peak"], op="linear", interpret=interp,
+            peak, (integ_carry, peak_carry) = limiter_env_pallas(
+                db, state["integ"], state["peak"],
+                att=self.attack, rel=self.release, interpret=interp,
             )
         else:
             integ = max_affine_scan(
@@ -185,8 +181,12 @@ class Limit(Node):
 
         y = x * db_to_linear(-max_peak)
         y = mask_block(y, valid)
+        if self.mode == "pallas":
+            new_integ, new_peak = integ_carry, peak_carry
+        else:
+            new_integ, new_peak = integ[:, -1], peak[:, -1]
         return (
-            {"in": s, "integ": integ[:, -1], "peak": peak[:, -1]},
+            {"in": s, "integ": new_integ, "peak": new_peak},
             y,
             valid,
         )

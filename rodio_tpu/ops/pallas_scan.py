@@ -176,6 +176,102 @@ def _first_order_kernel(a_ref, b_ref, c_ref, state_ref, y_ref, out_state_ref,
         out_state_ref[...] = carry[...].reshape(LANES)
 
 
+def _limiter_env_kernel(db_ref, state_ref, peak_ref, out_state_ref,
+                        carry, db_scr, peak_scr,
+                        *, t_chunk: int, att: float, rel: float,
+                        t_true: int):
+    """Both limiter envelope stages fused (src/source/limit.rs:909-913):
+      integ = max(db, rel*integ + (1-rel)*db)
+      peak  = att*peak + (1-att)*integ
+    carry: [4, 8, 128] = (integ, peak, saved_integ, saved_peak); the saved
+    pair is captured at the true (unpadded) last step so padded tail steps
+    don't corrupt the block carry.
+    """
+    t_idx = pl.program_id(1)
+    n_t = pl.num_programs(1)
+
+    @pl.when(t_idx == 0)
+    def _load():
+        st = state_ref[...]  # [LANES, 2]
+        carry[0] = st[:, 0].reshape(8, 128)
+        carry[1] = st[:, 1].reshape(8, 128)
+        carry[2] = jnp.zeros((8, 128), dtype=db_ref.dtype)
+        carry[3] = jnp.zeros((8, 128), dtype=db_ref.dtype)
+
+    db_scr[...] = db_ref[...].T.reshape(t_chunk, 8, 128)
+    base = t_idx * t_chunk
+
+    def step(t, acc):
+        integ, peak, s_integ, s_peak = acc
+        d = db_scr[t]
+        integ = jnp.maximum(d, rel * integ + (1.0 - rel) * d)
+        peak = att * peak + (1.0 - att) * integ
+        peak_scr[t] = peak
+        is_last = (base + t) == (t_true - 1)
+        s_integ = jnp.where(is_last, integ, s_integ)
+        s_peak = jnp.where(is_last, peak, s_peak)
+        return (integ, peak, s_integ, s_peak)
+
+    init = (carry[0], carry[1],
+            jnp.zeros((8, 128), dtype=db_ref.dtype),
+            jnp.zeros((8, 128), dtype=db_ref.dtype))
+    integ, peak, s_integ, s_peak = jax.lax.fori_loop(0, t_chunk, step, init)
+
+    peak_ref[...] = peak_scr[...].reshape(t_chunk, LANES).T
+    carry[0] = integ
+    carry[1] = peak
+    carry[2] = jnp.where(t_idx == (t_true - 1) // t_chunk, s_integ, carry[2])
+    carry[3] = jnp.where(t_idx == (t_true - 1) // t_chunk, s_peak, carry[3])
+
+    @pl.when(t_idx == n_t - 1)
+    def _store():
+        out_state_ref[...] = carry[2:4].reshape(2, LANES).T
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("t_chunk", "interpret", "att", "rel"))
+def limiter_env_pallas(db, integ0, peak0, *, att: float, rel: float,
+                       t_chunk: int = 512, interpret: bool = False):
+    """Fused limiter envelopes: db [L, T] -> (peak_seq [L, T],
+    (integ_carry [L], peak_carry [L])). One kernel, both recurrences."""
+    L, T = db.shape
+    dt = db.dtype
+    Lp = -(-L // LANES) * LANES
+    Tp = -(-T // t_chunk) * t_chunk
+    dbp = jnp.pad(db, ((0, Lp - L), (0, Tp - T)))
+    st = jnp.stack(
+        [jnp.pad(integ0, (0, Lp - L)), jnp.pad(peak0, (0, Lp - L))], axis=1
+    )
+    grid = (Lp // LANES, Tp // t_chunk)
+    vm = pltpu.ANY if interpret else pltpu.VMEM
+    peak, out_state = pl.pallas_call(
+        functools.partial(_limiter_env_kernel, t_chunk=t_chunk,
+                          att=att, rel=rel, t_true=T),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((LANES, t_chunk), lambda i, t: (i, t),
+                         memory_space=vm),
+            pl.BlockSpec((LANES, 2), lambda i, t: (i, 0), memory_space=vm),
+        ],
+        out_specs=(
+            pl.BlockSpec((LANES, t_chunk), lambda i, t: (i, t),
+                         memory_space=vm),
+            pl.BlockSpec((LANES, 2), lambda i, t: (i, 0), memory_space=vm),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Lp, Tp), dt),
+            jax.ShapeDtypeStruct((Lp, 2), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, 8, 128), dt),
+            pltpu.VMEM((t_chunk, 8, 128), dt),
+            pltpu.VMEM((t_chunk, 8, 128), dt),
+        ],
+        interpret=interpret,
+    )(dbp, st)
+    return peak[:L, :T], (out_state[:L, 0], out_state[:L, 1])
+
+
 @functools.partial(jax.jit,
                    static_argnames=("t_chunk", "interpret", "op", "params"))
 def first_order_pallas(a, b, init, *, c=None, op: str = "linear",
