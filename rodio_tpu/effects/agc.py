@@ -125,6 +125,37 @@ class AutomaticGainControl(Node):
             idx = (widx + jnp.arange(m, dtype=jnp.int32)) % RMS_WINDOW_SIZE
             old = jnp.take(state["window"], idx, axis=1)
 
+        if self.mode == "pallas":
+            # the whole per-sample loop as ONE fused kernel
+            from ..ops.pallas_scan import agc_pallas
+
+            interp = jax.default_backend() != "tpu"
+            gain_seq, (peak_c, sum_c, gain_c) = agc_pallas(
+                xs, sq - old, state["peak"], state["rms_sum"], state["gain"],
+                params=(float(att), float(rel), float(target),
+                        float(max_gain), float(floor),
+                        float(1.0 / RMS_WINDOW_SIZE)),
+                interpret=interp,
+            )
+            y = (xg * gain_seq).reshape(S, t, cg).transpose(0, 2, 1)
+            y = mask_block(y.reshape(c_total, t), valid)
+            if m >= RMS_WINDOW_SIZE:
+                pos = (widx + jnp.arange(m - RMS_WINDOW_SIZE, m,
+                                         dtype=jnp.int32)) % RMS_WINDOW_SIZE
+                window_new = state["window"].at[:, pos].set(
+                    sq[:, m - RMS_WINDOW_SIZE :]
+                )
+            else:
+                pos = (widx + jnp.arange(m, dtype=jnp.int32)) % RMS_WINDOW_SIZE
+                window_new = state["window"].at[:, pos].set(sq)
+            return (
+                {"in": s, "peak": peak_c, "gain": gain_c, "rms_sum": sum_c,
+                 "window": window_new,
+                 "widx": (widx + m) % RMS_WINDOW_SIZE},
+                y,
+                valid,
+            )
+
         if self.mode == "exact":
             # op-order identical to the reference: per step,
             # peak update then sum = (sum - old) + new
@@ -142,15 +173,6 @@ class AutomaticGainControl(Node):
             )
             peak_seq = peak_seq.T  # [S, M]
             sum_seq = sum_seq.T
-        elif self.mode == "pallas":
-            from ..ops.pallas_scan import first_order_pallas
-
-            interp = jax.default_backend() != "tpu"
-            peak_seq = first_order_pallas(
-                xs, (1.0 - rel) * xs, state["peak"],
-                c=jnp.full_like(xs, rel), op="max_affine", interpret=interp,
-            )
-            sum_seq = state["rms_sum"][:, None] + jnp.cumsum(sq - old, axis=1)
         else:
             from ..ops.scan import max_affine_scan
 
@@ -168,25 +190,14 @@ class AutomaticGainControl(Node):
         desired = jnp.maximum(jnp.minimum(rms_gain, peak_gain), floor)
 
         # --- sequential gain smoothing (data-dependent branch + clamp) ---
-        if self.mode == "pallas":
-            from ..ops.pallas_scan import first_order_pallas
+        def gain_step(g, d):
+            speed = jnp.where(d > g, att, rel)
+            g = g * speed + d * (1.0 - speed)
+            g = jnp.clip(g, dt(0.1), max_gain)
+            return g, g
 
-            interp = jax.default_backend() != "tpu"
-            gain_seq = first_order_pallas(
-                desired, jnp.zeros_like(desired), state["gain"],
-                op="agc_gain",
-                params=(float(att), float(rel), float(max_gain)),
-                interpret=interp,
-            )  # [S, M]
-        else:
-            def gain_step(g, d):
-                speed = jnp.where(d > g, att, rel)
-                g = g * speed + d * (1.0 - speed)
-                g = jnp.clip(g, dt(0.1), max_gain)
-                return g, g
-
-            _, gain_seq = jax.lax.scan(gain_step, state["gain"], desired.T)
-            gain_seq = gain_seq.T  # [S, M]
+        _, gain_seq = jax.lax.scan(gain_step, state["gain"], desired.T)
+        gain_seq = gain_seq.T  # [S, M]
 
         y = (xg * gain_seq).reshape(S, t, cg).transpose(0, 2, 1)
         y = y.reshape(c_total, t)

@@ -228,6 +228,127 @@ def _limiter_env_kernel(db_ref, state_ref, peak_ref, out_state_ref,
         out_state_ref[...] = carry[2:4].reshape(2, LANES).T
 
 
+def _agc_kernel(x_ref, d_ref, state_ref, gain_ref, out_state_ref,
+                carry, x_scr, d_scr, g_scr,
+                *, t_chunk: int, params, t_true: int):
+    """The full AGC sample loop fused (src/source/agc.rs:397-496):
+      peak   = max(|x|, rel*peak + (1-rel)*|x|)
+      sum    = sum + (sq - old)            [d = sq - old, precomputed]
+      rms    = sqrt(sum / WINDOW)
+      des    = clamp(min(target/rms?, min(target/peak?, max)), floor)
+      gain   = clip(gain*speed + des*(1-speed), 0.1, max)
+    carry: [6, 8, 128] = (peak, sum, gain, saved x3).
+    """
+    att, rel, target, max_gain, floor, inv_window = params
+    t_idx = pl.program_id(1)
+    n_t = pl.num_programs(1)
+
+    @pl.when(t_idx == 0)
+    def _load():
+        st = state_ref[...]  # [LANES, 3]
+        carry[0] = st[:, 0].reshape(8, 128)
+        carry[1] = st[:, 1].reshape(8, 128)
+        carry[2] = st[:, 2].reshape(8, 128)
+        carry[3] = jnp.zeros((8, 128), dtype=x_ref.dtype)
+        carry[4] = jnp.zeros((8, 128), dtype=x_ref.dtype)
+        carry[5] = jnp.zeros((8, 128), dtype=x_ref.dtype)
+
+    x_scr[...] = x_ref[...].T.reshape(t_chunk, 8, 128)
+    d_scr[...] = d_ref[...].T.reshape(t_chunk, 8, 128)
+    base = t_idx * t_chunk
+
+    def step(t, acc):
+        peak, rsum, gain, sp, ss, sg = acc
+        xv = x_scr[t]
+        coeff = jnp.where(xv > peak, 0.0, rel)
+        peak = peak * coeff + xv * (1.0 - coeff)
+        rsum = rsum + d_scr[t]
+        # target/sqrt(mean) as a single rsqrt (sum > 0 <=> rms > 0)
+        rms_gain = jnp.where(
+            rsum > 0.0, target * jax.lax.rsqrt(rsum * inv_window), max_gain
+        )
+        peak_gain = jnp.where(
+            peak > 0.0, jnp.minimum(target / peak, max_gain), max_gain
+        )
+        des = jnp.maximum(jnp.minimum(rms_gain, peak_gain), floor)
+        speed = jnp.where(des > gain, att, rel)
+        gain = jnp.clip(gain * speed + des * (1.0 - speed), 0.1, max_gain)
+        g_scr[t] = gain
+        is_last = (base + t) == (t_true - 1)
+        sp = jnp.where(is_last, peak, sp)
+        ss = jnp.where(is_last, rsum, ss)
+        sg = jnp.where(is_last, gain, sg)
+        return (peak, rsum, gain, sp, ss, sg)
+
+    init = (carry[0], carry[1], carry[2], carry[3], carry[4], carry[5])
+    peak, rsum, gain, sp, ss, sg = jax.lax.fori_loop(0, t_chunk, step, init)
+
+    gain_ref[...] = g_scr[...].reshape(t_chunk, LANES).T
+    carry[0] = peak
+    carry[1] = rsum
+    carry[2] = gain
+    in_save_chunk = t_idx == (t_true - 1) // t_chunk
+    carry[3] = jnp.where(in_save_chunk, sp, carry[3])
+    carry[4] = jnp.where(in_save_chunk, ss, carry[4])
+    carry[5] = jnp.where(in_save_chunk, sg, carry[5])
+
+    @pl.when(t_idx == n_t - 1)
+    def _store():
+        out_state_ref[...] = carry[3:6].reshape(3, LANES).T
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("t_chunk", "interpret", "params"))
+def agc_pallas(xs, delta, peak0, sum0, gain0, *, params,
+               t_chunk: int = 256, interpret: bool = False):
+    """Fused AGC: xs=|x| [L, M], delta=sq-old [L, M] -> (gain_seq [L, M],
+    (peak', sum', gain') carries). params = (att, rel, target, max_gain,
+    floor, 1/WINDOW)."""
+    L, M = xs.shape
+    dt = xs.dtype
+    Lp = -(-L // LANES) * LANES
+    Mp = -(-M // t_chunk) * t_chunk
+    xp = jnp.pad(xs, ((0, Lp - L), (0, Mp - M)))
+    dp = jnp.pad(delta, ((0, Lp - L), (0, Mp - M)))
+    st = jnp.stack([
+        jnp.pad(peak0, (0, Lp - L)),
+        jnp.pad(sum0, (0, Lp - L)),
+        jnp.pad(gain0, (0, Lp - L)),
+    ], axis=1)
+    grid = (Lp // LANES, Mp // t_chunk)
+    vm = pltpu.ANY if interpret else pltpu.VMEM
+    gain, out_state = pl.pallas_call(
+        functools.partial(_agc_kernel, t_chunk=t_chunk, params=params,
+                          t_true=M),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((LANES, t_chunk), lambda i, t: (i, t),
+                         memory_space=vm),
+            pl.BlockSpec((LANES, t_chunk), lambda i, t: (i, t),
+                         memory_space=vm),
+            pl.BlockSpec((LANES, 3), lambda i, t: (i, 0), memory_space=vm),
+        ],
+        out_specs=(
+            pl.BlockSpec((LANES, t_chunk), lambda i, t: (i, t),
+                         memory_space=vm),
+            pl.BlockSpec((LANES, 3), lambda i, t: (i, 0), memory_space=vm),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Lp, Mp), dt),
+            jax.ShapeDtypeStruct((Lp, 3), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((6, 8, 128), dt),
+            pltpu.VMEM((t_chunk, 8, 128), dt),
+            pltpu.VMEM((t_chunk, 8, 128), dt),
+            pltpu.VMEM((t_chunk, 8, 128), dt),
+        ],
+        interpret=interpret,
+    )(xp, dp, st)
+    return gain[:L, :M], (out_state[:L, 0], out_state[:L, 1],
+                          out_state[:L, 2])
+
+
 @functools.partial(jax.jit,
                    static_argnames=("t_chunk", "interpret", "att", "rel"))
 def limiter_env_pallas(db, integ0, peak0, *, att: float, rel: float,
