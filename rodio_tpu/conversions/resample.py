@@ -229,22 +229,24 @@ class Resample(Node):
         fill = jnp.maximum(state["fill"] - shift, 0)
         base_g = first_left
 
-        # conditional pull of P frames (committed only when needed)
+        # conditional pull (committed only when needed); the pull size
+        # scales with THIS block so upstream work tracks actual demand
+        P = -(-n * fr // self.to) + 3
         need = (last_needed + 1 - base_g) > fill
         not_ended = state["in_end"] == _BIG
         do_pull = need & not_ended
-        in_state2, xblk, v_in = self.input.emit(state["in"], self.P)
+        in_state2, xblk, v_in = self.input.emit(state["in"], P)
         in_state_new = _tree_select(do_pull, in_state2, state["in"])
-        pos = jnp.where(do_pull, fill + jnp.arange(self.P, dtype=jnp.int32),
+        pos = jnp.where(do_pull, fill + jnp.arange(P, dtype=jnp.int32),
                         self.R + 1)
         ring = ring.at[:, pos].set(xblk, mode="drop")
-        in_pulled = jnp.where(do_pull, state["in_pulled"] + self.P,
+        in_pulled = jnp.where(do_pull, state["in_pulled"] + P,
                               state["in_pulled"])
-        ended_now = do_pull & (v_in < self.P)
+        ended_now = do_pull & (v_in < P)
         in_end = jnp.where(
             ended_now & not_ended, state["in_pulled"] + v_in, state["in_end"]
         )
-        fill = jnp.where(do_pull, fill + self.P, fill)
+        fill = jnp.where(do_pull, fill + P, fill)
 
         # gather + lerp
         idx = left_g - base_g

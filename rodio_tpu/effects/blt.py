@@ -25,7 +25,9 @@ class BltFilter(Node):
     """
 
     def __init__(self, input_node: Node, kind: str, freq: float, q: float = 0.5,
-                 *, mode: str = "exact"):
+                 *, mode: str = "auto"):
+        """mode="auto" uses the (bit-identical) fused Pallas kernel on TPU
+        and the sequential scan elsewhere."""
         self.input = input_node
         self.spec = input_node.spec
         self.kind = kind
@@ -48,11 +50,14 @@ class BltFilter(Node):
                 "x1": z, "x2": z, "y1": z, "y2": z}
 
     def emit(self, state: State, n: int):
+        import jax
+
         s, x, valid = self.input.emit(state["in"], n)
         st = (state["x1"], state["x2"], state["y1"], state["y2"])
-        if self.mode == "pallas":
-            import jax
-
+        mode = self.mode
+        if mode == "auto":
+            mode = "pallas" if jax.default_backend() == "tpu" else "exact"
+        if mode == "pallas":
             from ..ops.pallas_scan import biquad_df1_pallas
 
             interpret = jax.default_backend() != "tpu"
@@ -61,7 +66,7 @@ class BltFilter(Node):
             )
         else:
             y, (x1, x2, y1, y2) = biquad_df1(
-                x, self.coeffs, st, mode=self.mode
+                x, self.coeffs, st, mode=mode
             )
         y = mask_block(y, valid)
         return (

@@ -99,7 +99,7 @@ class Limit(Node):
     within each group only."""
 
     def __init__(self, input_node: Node, settings: LimitSettings = None,
-                 *, mode: str = "exact", streams: int = 1):
+                 *, mode: str = "auto", streams: int = 1):
         from ..core.math import duration_to_coefficient
         from ..core.types import duration_to_nanos
 
@@ -139,7 +139,10 @@ class Limit(Node):
         db = limiter_gain_db(
             x, dt(self.threshold), dt(self.knee_width), dt(self.inv_knee_8)
         )  # [C, T]
-        if self.mode == "pallas":
+        mode = self.mode
+        if mode == "auto":
+            mode = "pallas" if jax.default_backend() == "tpu" else "exact"
+        if mode == "pallas":
             from ..ops.pallas_scan import limiter_env_pallas
 
             interp = jax.default_backend() != "tpu"
@@ -150,11 +153,11 @@ class Limit(Node):
         else:
             integ = max_affine_scan(
                 db, (1.0 - rel) * db, jnp.full_like(db, rel), state["integ"],
-                mode=self.mode,
+                mode=mode,
             )
             peak = linear_scan(
                 jnp.full_like(integ, att), (1.0 - att) * integ, state["peak"],
-                mode=self.mode,
+                mode=mode,
             )  # [C, T]
 
         c = self.spec.channels
@@ -181,7 +184,7 @@ class Limit(Node):
 
         y = x * db_to_linear(-max_peak)
         y = mask_block(y, valid)
-        if self.mode == "pallas":
+        if mode == "pallas":
             new_integ, new_peak = integ_carry, peak_carry
         else:
             new_integ, new_peak = integ[:, -1], peak[:, -1]

@@ -561,3 +561,24 @@ def test_agc_pallas_mode(rng):
         AutomaticGainControl(SamplesBuffer(2, 44100, data), AgcSettings(),
                              mode="pallas"), block_frames=1024))
     np.testing.assert_allclose(pal, exact, atol=1e-4)
+
+
+@pytest.mark.parametrize("blocks", [(256, 1024), (251, 997)])
+def test_block_size_invariance(rng, blocks):
+    """Rendering must not depend on block size: the same chain rendered
+    with different block sizes produces identical audio (state carries are
+    exact across boundaries)."""
+    b1, b2 = blocks
+    data = rng.uniform(-1, 1, (2, 9000)).astype(np.float32)
+
+    def chain():
+        node = SamplesBuffer(2, 44100, data).resample(48000)
+        node = BltFilter(node, "low_pass", 1500.0, 0.5)
+        node = AutomaticGainControl(node, AgcSettings())
+        node = Limit(node.amplify(1.5), LimitSettings())
+        return node
+
+    out1 = np.asarray(render(chain(), block_frames=b1))
+    out2 = np.asarray(render(chain(), block_frames=b2))
+    assert out1.shape == out2.shape
+    np.testing.assert_array_equal(out1, out2)
