@@ -29,7 +29,7 @@ LANES = 1024  # 8 sublanes x 128 lanes = one f32 vreg per time step
 
 
 def _biquad_kernel(x_ref, c_ref, state_ref, y_ref, out_state_ref,
-                   carry, x_scr, y_scr, *, t_chunk: int):
+                   carry, x_scr, y_scr, *, t_chunk: int, unroll: int = 1):
     """One (lane_group, time_chunk) grid step.
 
     x_ref/y_ref: [LANES, t_chunk] VMEM blocks (lane-major).
@@ -62,7 +62,8 @@ def _biquad_kernel(x_ref, c_ref, state_ref, y_ref, out_state_ref,
         return (xcur, x1, y, y1)
 
     init = (carry[0], carry[1], carry[2], carry[3])
-    x1, x2, y1, y2 = jax.lax.fori_loop(0, t_chunk, step, init)
+    x1, x2, y1, y2 = jax.lax.fori_loop(0, t_chunk, step, init,
+                                       unroll=unroll)
 
     y_ref[...] = y_scr[...].reshape(t_chunk, LANES).T
     carry[0] = x1
@@ -131,7 +132,8 @@ def biquad_df1_pallas(x, coeffs, state, *, t_chunk: int = 512,
 
 def _first_order_kernel(a_ref, b_ref, c_ref, state_ref, y_ref, out_state_ref,
                         carry, a_scr, b_scr, c_scr, y_scr,
-                        *, t_chunk: int, op: str, params=()):
+                        *, t_chunk: int, op: str, params=(),
+                        unroll: int = 1):
     """Generic first-order recurrence over one (lane_group, time_chunk):
     linear:     y = a_t * y_prev + b_t
     max_affine: y = max(a_t, b_t + c_t * y_prev)
@@ -167,7 +169,7 @@ def _first_order_kernel(a_ref, b_ref, c_ref, state_ref, y_ref, out_state_ref,
         y_scr[t] = y
         return y
 
-    y = jax.lax.fori_loop(0, t_chunk, step, carry[...])
+    y = jax.lax.fori_loop(0, t_chunk, step, carry[...], unroll=unroll)
     y_ref[...] = y_scr[...].reshape(t_chunk, LANES).T
     carry[...] = y
 
@@ -179,7 +181,7 @@ def _first_order_kernel(a_ref, b_ref, c_ref, state_ref, y_ref, out_state_ref,
 def _limiter_env_kernel(db_ref, state_ref, peak_ref, out_state_ref,
                         carry, db_scr, peak_scr,
                         *, t_chunk: int, att: float, rel: float,
-                        t_true: int):
+                        t_true: int, unroll: int = 1):
     """Both limiter envelope stages fused (src/source/limit.rs:909-913):
       integ = max(db, rel*integ + (1-rel)*db)
       peak  = att*peak + (1-att)*integ
@@ -215,7 +217,8 @@ def _limiter_env_kernel(db_ref, state_ref, peak_ref, out_state_ref,
     init = (carry[0], carry[1],
             jnp.zeros((8, 128), dtype=db_ref.dtype),
             jnp.zeros((8, 128), dtype=db_ref.dtype))
-    integ, peak, s_integ, s_peak = jax.lax.fori_loop(0, t_chunk, step, init)
+    integ, peak, s_integ, s_peak = jax.lax.fori_loop(0, t_chunk, step, init,
+                                                     unroll=unroll)
 
     peak_ref[...] = peak_scr[...].reshape(t_chunk, LANES).T
     carry[0] = integ
@@ -230,7 +233,7 @@ def _limiter_env_kernel(db_ref, state_ref, peak_ref, out_state_ref,
 
 def _agc_kernel(x_ref, d_ref, state_ref, gain_ref, out_state_ref,
                 carry, x_scr, d_scr, g_scr,
-                *, t_chunk: int, params, t_true: int):
+                *, t_chunk: int, params, t_true: int, unroll: int = 1):
     """The full AGC sample loop fused (src/source/agc.rs:397-496):
       peak   = max(|x|, rel*peak + (1-rel)*|x|)
       sum    = sum + (sq - old)            [d = sq - old, precomputed]
@@ -281,7 +284,8 @@ def _agc_kernel(x_ref, d_ref, state_ref, gain_ref, out_state_ref,
         return (peak, rsum, gain, sp, ss, sg)
 
     init = (carry[0], carry[1], carry[2], carry[3], carry[4], carry[5])
-    peak, rsum, gain, sp, ss, sg = jax.lax.fori_loop(0, t_chunk, step, init)
+    peak, rsum, gain, sp, ss, sg = jax.lax.fori_loop(0, t_chunk, step, init,
+                                                     unroll=unroll)
 
     gain_ref[...] = g_scr[...].reshape(t_chunk, LANES).T
     carry[0] = peak
@@ -319,7 +323,8 @@ def agc_pallas(xs, delta, peak0, sum0, gain0, *, params,
     vm = pltpu.ANY if interpret else pltpu.VMEM
     gain, out_state = pl.pallas_call(
         functools.partial(_agc_kernel, t_chunk=t_chunk, params=params,
-                          t_true=M),
+                          t_true=M,
+                          unroll=1 if interpret else t_chunk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((LANES, t_chunk), lambda i, t: (i, t),
@@ -424,7 +429,8 @@ def first_order_pallas(a, b, init, *, c=None, op: str = "linear",
                          memory_space=pltpu.ANY if interpret else pltpu.VMEM)
     y, _ = pl.pallas_call(
         functools.partial(_first_order_kernel, t_chunk=t_chunk, op=op,
-                          params=params),
+                          params=params,
+                          unroll=1 if interpret else t_chunk),
         grid=grid,
         in_specs=[spec, spec, spec, sspec],
         out_specs=(spec, sspec),
