@@ -309,8 +309,12 @@ class Resample(Node):
         )  # [C, K]: first frame of each following chunk
 
         Y = (
+            # HIGHEST: the default TPU matmul precision truncates f32
+            # operands to bf16 products (~4e-4 absolute on unit audio),
+            # breaking the 1e-6 parity contract on hardware
             jnp.einsum("ckf,ft->ckt", X, self._G0,
-                       preferred_element_type=dt)
+                       preferred_element_type=dt,
+                       precision=jax.lax.Precision.HIGHEST)
             + xnext[:, :, None] * self._g1[None, None, :]
         )  # [C, K, to]
         out_full = Y.reshape(C, K * to)

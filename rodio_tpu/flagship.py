@@ -20,14 +20,172 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax.numpy as jnp
 import numpy as np
 
+from .core.node import Node, State, clip_valid
+from .core.types import StreamSpec, float_dtype
 from .effects.basic import Amplify
 from .effects.blt import BltFilter
 from .effects.limit import Limit, LimitSettings
-from .conversions.resample import Resample
+from .conversions.resample import Resample, resample_output_frames
 from .parallel.batch import WideMixer
+from .refimpl.effects import blt_coefficients
 from .sources.generators import SamplesBuffer
+
+
+class FusedWidePipeline(Node):
+    """Resample + biquad + gain + stream-mix as ONE Pallas mega-kernel.
+
+    Fuses the flagship's Resample -> BltFilter -> Amplify -> WideMixer
+    chain (see :mod:`rodio_tpu.ops.fused`) so each block makes a single
+    HBM pass over the input PCM instead of four stage round-trips.
+
+    Constraints vs the unfused chain:
+    - the upstream must be RANDOM_ACCESS with ``slice_frames`` (a
+      SamplesBuffer / Decoder), at most 1024 wide channels;
+    - ``emit`` block sizes must be multiples of ``m * to`` (the kernel's
+      time-grid chunk, e.g. 320 frames for 44.1k->48k with m=2);
+    - outputs match the unfused chain to ~1e-6 (f32 matmul accumulation
+      order differs), except the final drain frame of the stream, which the
+      unfused resampler emits as the raw last input frame
+      (conversions/resample.py drain rule) while the kernel resamples it
+      with a zero right-neighbor — one frame at the stream tail.
+    """
+
+    def __init__(self, input_node: Node, to_rate: int, gains,
+                 n_streams: int, kind: str = "low_pass",
+                 freq: float = 2000.0, q: float = 0.5, *, m: int = 2,
+                 precision: str = "highest"):
+        assert getattr(input_node, "RANDOM_ACCESS", False) and hasattr(
+            input_node, "slice_frames"
+        ), "FusedWidePipeline needs a sliceable random-access source"
+        self.input = input_node
+        wide = input_node.spec.channels
+        if wide % n_streams:
+            raise ValueError("channel count not divisible by stream count")
+        self.n_streams = n_streams
+        C = wide // n_streams
+        self.spec = StreamSpec(C, to_rate)
+        from_rate = input_node.spec.sample_rate
+        import math
+
+        g = math.gcd(from_rate, to_rate)
+        self.from_ = from_rate // g
+        self.to = to_rate // g
+        assert self.from_ != self.to, "identity ratio: use the plain chain"
+        self.m = m
+        self.precision = precision
+        # reuse the resampler's constant lerp operator
+        self._rs = Resample(input_node, to_rate)
+        ap = blt_coefficients(kind, to_rate, freq, q)
+        self.coeffs = tuple(
+            float(v) for v in (ap.b0, ap.b1, ap.b2, ap.a1, ap.a2)
+        )
+        gains = np.asarray(gains, dtype=np.float32)
+        per_lane = np.repeat(gains, C) if gains.shape == (n_streams,) else gains
+        assert per_lane.shape == (wide,)
+        from .ops.fused import LANES
+
+        assert wide <= LANES, "fused pipeline supports <= 1024 wide channels"
+        # M[c, l] = gain_l if l % C == c else 0  (rows C..8, lanes >= wide: 0)
+        M = np.zeros((8, LANES), dtype=np.float32)
+        for c in range(C):
+            M[c, c : wide : C] = per_lane[c::C]
+        self._mixmat = jnp.asarray(M)
+        self._wide = wide
+        self._lanes = LANES
+        self._s0 = getattr(input_node, "_start", 0)
+
+    def total_frames(self) -> Optional[int]:
+        n_in = self.input.total_frames()
+        if n_in is None:
+            return None
+        return resample_output_frames(n_in, self.from_, self.to)
+
+    def init_state(self) -> State:
+        dt = float_dtype()
+        z = jnp.zeros((self._lanes,), dtype=dt)
+        in_state = self.input.init_state()
+        # one-time device-side restructure of the PCM: lane-padded,
+        # time-major, pre-chunked at the resample stride so per-block
+        # access is a runtime chunk index — no window copies per emit
+        data = in_state["data"]
+        fr = self.from_
+        data_t = jnp.pad(
+            data, ((0, self._lanes - data.shape[0]), (0, 0))
+        ).T[self._s0 :]                                 # [F - s0, LANES]
+        nc = data_t.shape[0] // fr
+        fr_p = -(-fr // 8) * 8
+        chunks = jnp.pad(
+            data_t[: nc * fr].reshape(nc, fr, self._lanes),
+            ((0, 0), (0, fr_p - fr), (0, 0)),
+        )
+        xn_all_t = data_t[::fr]                         # [Fc, LANES]
+        return {
+            "in": in_state,
+            "chunks": chunks,
+            "xn_all_t": xn_all_t,
+            "out_o": jnp.zeros((), dtype=jnp.int32),
+            "drained": jnp.asarray(False),
+            "bq": (z, z, z, z),
+        }
+
+    def emit(self, state: State, n: int):
+        import jax
+
+        from .ops.fused import fused_resample_biquad_mix
+
+        fr, to, m = self.from_, self.to, self.m
+        assert n % (m * to) == 0, (
+            f"fused block {n} must be a multiple of {m * to}"
+        )
+        dt = float_dtype()
+        K = n // to
+        chunks = state["chunks"]
+        pad = getattr(type(self.input), "PAD_FRAMES", 0)
+        assert K * fr + fr <= pad, (
+            f"fused block {n} needs {K * fr + fr} pad frames > {pad}; "
+            "use a smaller block"
+        )
+        o0 = state["out_o"]  # invariant: multiple of `to`
+        c0 = o0 // to
+        start, in_end = self.input.access_window(state["in"])
+
+        # window stays in bounds: the clamp only engages past the drain
+        # point, where outputs are masked to zero anyway
+        c0c = jnp.clip(c0, 0, chunks.shape[0] - K).astype(jnp.int32)
+        xn_t = jax.lax.dynamic_slice(
+            state["xn_all_t"], (c0c + 1, jnp.int32(0)),
+            (K, self._lanes),
+        )
+
+        interpret = jax.default_backend() != "tpu"
+        mix8, bq = fused_resample_biquad_mix(
+            chunks, c0c, xn_t, self._rs._G0, self._rs._g1, self._mixmat,
+            self.coeffs, state["bq"], fr=fr, to=to, m=m,
+            precision=self.precision, interpret=interpret,
+        )
+        out = mix8[: self.spec.channels, :]
+
+        # validity + drain bookkeeping (conversions/resample.py:322-339)
+        o = o0 + jnp.arange(n, dtype=jnp.int32)
+        left_g = (o // to) * fr + (fr * (o % to)) // to
+        full = left_g <= in_end - 2
+        n_full = jnp.sum(full.astype(jnp.int32))
+        cand_left = jnp.take(left_g, n_full, mode="clip")
+        drain_ok = (n_full < n) & (cand_left == in_end - 1)
+        valid = jnp.where(
+            state["drained"], 0, n_full + drain_ok.astype(jnp.int32)
+        )
+        i_idx = jnp.arange(n, dtype=jnp.int32)
+        out = jnp.where(i_idx[None, :] < valid, out, 0.0)
+        drained_new = state["drained"] | drain_ok | (valid < n)
+        return (
+            {**state, "out_o": o0 + n, "drained": drained_new, "bq": bq},
+            out.astype(dt),
+            clip_valid(valid, n),
+        )
 
 
 def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
@@ -67,6 +225,14 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
     per_channel_gain = np.repeat(gains, channels)
 
     chain = SamplesBuffer(n_streams * channels, in_rate, wide)
+    if scan_mode == "fused":
+        if with_agc:
+            raise ValueError("fused pipeline has no AGC stage")
+        fused = FusedWidePipeline(
+            chain, out_rate, gains, n_streams, "low_pass", 2000.0, 0.5
+        )
+        master = Limit(fused, LimitSettings(), mode="auto")
+        return master, master.init_state()
     chain = Resample(chain, out_rate, max_block=max_block)
     chain = BltFilter(chain, "low_pass", 2000.0, 0.5, mode=scan_mode)
     if with_agc:

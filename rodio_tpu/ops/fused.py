@@ -1,0 +1,214 @@
+"""Fused flagship mega-kernel: resample + biquad + gain/mix in ONE pass.
+
+The unfused wide-channel pipeline (flagship.py) runs four XLA/Pallas ops
+per block — resample matmul, biquad kernel, per-channel gain, stream-axis
+mix — each of which round-trips the full [S*C, T] block through HBM
+(~100 MB of traffic per 4096-frame block at 512 stereo streams). This
+kernel performs the whole chain inside one Mosaic kernel reading the PCM
+directly from an HBM-resident chunked buffer, so the only HBM traffic per
+block is ONE pass over the input window plus the tiny [C, T] mix out.
+
+Data layout: the source PCM is pre-chunked once at init into
+``chunks[j] = frames [j*fr, (j+1)*fr) as [fr_p, LANES]`` (time-major,
+rows padded to a multiple of 8 with zeros; G0^T gets matching zero
+columns). Chunk DMAs then index only the leading dimension, which Mosaic
+allows at arbitrary runtime offsets (minor-dim HBM slices must be
+128-aligned and sublane extents 8-aligned, which arbitrary resample
+phases/strides are not). Time-major also makes every stage's
+layout native: the resample matmul produces time-major chunks directly,
+the biquad consumes them row-per-step, and the mix matmul emits [T, 8] —
+zero in-kernel transposes.
+
+Per sequential grid step (m resample chunks = m*to output frames):
+  1. DMA m chunks [fr, LANES] from HBM at runtime chunk index c0 + t*m + k,
+  2. chunk matmul  G0^T[to, fr] @ X_k[fr, LANES]  on the MXU (+ g1 column
+     times the xnext boundary row) — the chunk-reshaped lerp resampler of
+     conversions/resample.py:_build_lerp_matrix — staged time-major,
+  3. the biquad direct-form-I recurrence over the m*to time steps with a
+     VMEM carry persisting across grid steps (src/source/blt.rs:556-561
+     semantics, identical op order to ops/pallas_scan.biquad_df1_pallas),
+  4. one mix matmul  y[m*to, LANES] @ M^T[LANES, 8]  where
+     M[c, l] = gain_l * [l % C == c]  — per-stream gain and the mixer's
+     N-way sum (src/mixer.rs:185-198) fused into a single MXU op.
+
+Numerics: the biquad is bit-identical to the sequential scan; the resample
+and mix matmuls accumulate on the MXU in a different order than the
+unfused einsum/reshape-sum, so outputs agree to ~1e-6 (f32 roundoff), not
+bitwise.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 1024  # 8 sublanes x 128 lanes = one f32 vreg per biquad time step
+
+
+def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
+                  mixt_ref, state_ref,
+                  out_ref, out_state_ref,
+                  carry, xraw, x_scr, y_scr, sems,
+                  *, m: int, to: int, precision):
+    """One sequential time-grid step: m chunk DMAs -> resample -> biquad
+    -> mix. All compute is time-major.
+
+    c0_ref: [1] SMEM — first chunk index of this block's window.
+    c_ref: [8] SMEM biquad coeffs. chunks_ref: [Nc, fr_p, LANES] HBM PCM.
+    xn_ref: [K, LANES] first frame of the chunk AFTER each chunk.
+    g0t_ref: [to, fr_p] transposed lerp operator (zero columns past fr);
+    g1_ref: [to, 8] (col 0 = boundary column). mixt_ref: [LANES, 8]
+    transposed gain+mix matrix.
+    state_ref/out_state_ref: [LANES, 4] biquad carries (x1, x2, y1, y2).
+    carry: [4, 8, 128] persistent VMEM scratch; xraw: [2, m, fr_p, LANES] DMA
+    landing pads; x_scr/y_scr: [m*to, 8, 128] time-major staging.
+    """
+    t_idx = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    dt = chunks_ref.dtype
+
+    b0 = c_ref[0]
+    b1 = c_ref[1]
+    b2 = c_ref[2]
+    a1 = c_ref[3]
+    a2 = c_ref[4]
+    c0 = c0_ref[0]
+
+    @pl.when(t_idx == 0)
+    def _load_state():
+        carry[...] = state_ref[...].T.reshape(4, 8, 128)
+
+    # 1: double-buffered chunk DMAs — step t's chunks were prefetched at
+    # step t-1 into slot t%2; this step prefetches t+1 into the other slot
+    def _start(t, slot):
+        for k in range(m):
+            src = chunks_ref.at[c0 + t * m + k]
+            pltpu.make_async_copy(src, xraw.at[slot, k],
+                                  sems.at[slot, k]).start()
+
+    slot = jax.lax.rem(t_idx, 2)
+
+    @pl.when(t_idx == 0)
+    def _warm():
+        _start(t_idx, slot)
+
+    @pl.when(t_idx + 1 < n_t)
+    def _prefetch():
+        _start(t_idx + 1, jax.lax.rem(t_idx + 1, 2))
+
+    # 2: resample each chunk on the MXU, stage time-major
+    g0t = g0t_ref[...]
+    g1col = g1_ref[:, 0:1]  # [to, 1]
+    for k in range(m):
+        pltpu.make_async_copy(
+            chunks_ref.at[c0 + t_idx * m + k], xraw.at[slot, k],
+            sems.at[slot, k]
+        ).wait()
+        xk = xraw[slot, k]                             # [fr_p, LANES]
+        xnk = xn_ref[pl.ds(t_idx * m + k, 1), :]       # [1, LANES]
+        yk = jnp.dot(g0t, xk, preferred_element_type=dt,
+                     precision=precision)
+        yk = yk + g1col * xnk                          # [to, LANES]
+        x_scr[k * to : (k + 1) * to] = yk.reshape(to, 8, 128)
+
+    # 3: biquad recurrence over the m*to resampled steps
+    def step(t, acc):
+        x1, x2, y1, y2 = acc
+        xcur = x_scr[t]
+        y = b0 * xcur + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
+        y_scr[t] = y
+        return (xcur, x1, y, y1)
+
+    init = (carry[0], carry[1], carry[2], carry[3])
+    x1, x2, y1, y2 = jax.lax.fori_loop(0, m * to, step, init)
+    carry[0] = x1
+    carry[1] = x2
+    carry[2] = y1
+    carry[3] = y2
+
+    # 4: gain + stream-axis mix as one matmul
+    y_t = y_scr[...].reshape(m * to, LANES)
+    mix = jnp.dot(y_t, mixt_ref[...], preferred_element_type=dt,
+                  precision=precision)  # [m*to, 8]
+    out_ref[...] = mix[None]
+
+    @pl.when(t_idx == n_t - 1)
+    def _store_state():
+        out_state_ref[...] = carry[...].reshape(4, LANES).T
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fr", "to", "m", "interpret", "precision")
+)
+def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
+                              bq_state, *, fr: int, to: int, m: int = 2,
+                              precision: str = "highest",
+                              interpret: bool = False):
+    """Fused pipeline over one block, reading straight from the chunked
+    buffer.
+
+    chunks: [Nc, fr_p, LANES] pre-chunked time-major PCM (HBM resident,
+    rows fr..fr_p-1 zero, zero-padded past the stream end). c0: scalar int32 first chunk index.
+    xn_t: [K, LANES] — xn_t[k] is the first frame of chunk c0 + k + 1.
+    g0: [fr, to]; g1: [to]; mixmat: [8, LANES] gain+mix rows (rows >= C
+    and lanes >= wide zero). coeffs: (b0, b1, b2, a1, a2).
+    bq_state: (x1, x2, y1, y2) each [LANES]. K % m == 0.
+
+    Returns (mix [8, K*to], new bq_state tuple each [LANES]).
+    """
+    Nc, fr_p, _ = chunks.shape
+    assert fr_p == -(-fr // 8) * 8 and chunks.shape == (Nc, fr_p, LANES)
+    K = xn_t.shape[0]
+    assert xn_t.shape == (K, LANES) and K % m == 0
+    dt = chunks.dtype
+
+    st = jnp.stack(list(bq_state), axis=1)             # [LANES, 4]
+    g1p = jnp.zeros((to, 8), dt).at[:, 0].set(g1)
+    c = jnp.asarray(list(coeffs) + [0.0, 0.0, 0.0], dtype=dt)
+    c0 = jnp.asarray(c0, jnp.int32).reshape(1)
+    g0t = jnp.pad(jnp.asarray(g0, dt).T, ((0, 0), (0, fr_p - fr)))
+    mixt = mixmat.T
+
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    n_t = K // m
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+    out3, out_state = pl.pallas_call(
+        functools.partial(_fused_kernel, m=m, to=to, precision=prec),
+        grid=(n_t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # c0
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # coeffs
+            pl.BlockSpec(memory_space=pltpu.ANY),       # chunks (HBM)
+            pl.BlockSpec((K, LANES), lambda t: (0, 0), memory_space=mem),
+            pl.BlockSpec((to, fr_p), lambda t: (0, 0), memory_space=mem),
+            pl.BlockSpec((to, 8), lambda t: (0, 0), memory_space=mem),
+            pl.BlockSpec((LANES, 8), lambda t: (0, 0), memory_space=mem),
+            pl.BlockSpec((LANES, 4), lambda t: (0, 0), memory_space=mem),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, m * to, 8), lambda t: (t, 0, 0),
+                         memory_space=mem),
+            pl.BlockSpec((LANES, 4), lambda t: (0, 0), memory_space=mem),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_t, m * to, 8), dt),
+            jax.ShapeDtypeStruct((LANES, 4), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, 8, 128), dt),
+            pltpu.VMEM((2, m, fr_p, LANES), dt),
+            pltpu.VMEM((m * to, 8, 128), dt),
+            pltpu.VMEM((m * to, 8, 128), dt),
+            pltpu.SemaphoreType.DMA((2, m)),
+        ],
+        interpret=interpret,
+    )(c0, c, chunks, xn_t, g0t, g1p, mixt, st)
+
+    mix = out3.reshape(K * to, 8).T
+    new_state = tuple(out_state[:, i] for i in range(4))
+    return mix, new_state

@@ -1,0 +1,169 @@
+"""Fused mega-kernel (ops/fused.py + flagship.FusedWidePipeline) parity.
+
+The fused resample+biquad+gain+mix kernel must match the unfused chain
+(Resample -> BltFilter -> Amplify -> WideMixer) block for block. On CPU
+these run under the Pallas interpreter; the same comparisons hold on TPU
+hardware (checked at ~5e-9, see BENCHMARKS.md).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rodio_tpu.conversions.resample import Resample
+from rodio_tpu.effects.basic import Amplify
+from rodio_tpu.effects.blt import BltFilter
+from rodio_tpu.flagship import FusedWidePipeline, make_flagship
+from rodio_tpu.parallel.batch import WideMixer
+from rodio_tpu.sources.generators import SamplesBuffer
+
+
+def _pair(rng, S=8, frames=44100, freq=2000.0, q=0.5):
+    C = 2
+    wide = (rng.standard_normal((S * C, frames)) * 0.1).astype(np.float32)
+    gains = rng.uniform(0.5, 1.5, S).astype(np.float32) / S
+
+    fused = FusedWidePipeline(
+        SamplesBuffer(S * C, 44100, wide), 48000, gains, S,
+        "low_pass", freq, q,
+    )
+    ch = Resample(SamplesBuffer(S * C, 44100, wide), 48000)
+    ch = BltFilter(ch, "low_pass", freq, q, mode="exact")
+    ch = Amplify(ch, np.repeat(gains, C))
+    ch = WideMixer(ch, S)
+    return fused, ch
+
+
+def test_fused_matches_unfused_chain(rng):
+    fused, ch = _pair(rng)
+    sf, su = fused.init_state(), ch.init_state()
+    ef = jax.jit(lambda s: fused.emit(s, 640))
+    eu = jax.jit(lambda s: ch.emit(s, 640))
+    for _ in range(5):
+        sf, of, vf = ef(sf)
+        su, ou, vu = eu(su)
+        assert int(vf) == int(vu) == 640
+        np.testing.assert_allclose(np.asarray(of), np.asarray(ou),
+                                   atol=2e-7)
+
+
+def test_fused_block_size_invariance(rng):
+    """Different (aligned) block sizes produce the same samples."""
+    fused_a, _ = _pair(rng, frames=22050)
+    fused_b, _ = _pair(np.random.default_rng(0), frames=22050)
+    rng2 = np.random.default_rng(7)
+    wide = (rng2.standard_normal((8, 22050)) * 0.1).astype(np.float32)
+    gains = rng2.uniform(0.5, 1.5, 4).astype(np.float32)
+
+    def render(T, nb):
+        node = FusedWidePipeline(
+            SamplesBuffer(8, 44100, wide), 48000, gains, 4
+        )
+        s = node.init_state()
+        f = jax.jit(lambda s: node.emit(s, T))
+        outs = []
+        for _ in range(nb):
+            s, o, v = f(s)
+            outs.append(np.asarray(o))
+        return np.concatenate(outs, axis=1)
+
+    a = render(320, 6)
+    b = render(640, 3)
+    # ulp-level: XLA fuses the kernel's surrounding glue differently per
+    # program shape (FMA contraction), so bitwise equality is not portable
+    np.testing.assert_allclose(a, b[:, : a.shape[1]], atol=1e-7)
+
+
+def test_fused_tail_drain_and_silence(rng):
+    """Validity bookkeeping matches the unfused resampler at stream end;
+    the one drain frame is a documented deviation (zero right-neighbor
+    lerp instead of the raw last frame)."""
+    S, C = 4, 2
+    frames = 13230  # 0.3 s -> 14400 out frames; last block partial
+    wide = (rng.standard_normal((S * C, frames)) * 0.1).astype(np.float32)
+    gains = np.full(S, 0.25, np.float32)
+    fused = FusedWidePipeline(
+        SamplesBuffer(S * C, 44100, wide), 48000, gains, S
+    )
+    ch = Resample(SamplesBuffer(S * C, 44100, wide), 48000)
+    ch = BltFilter(ch, "low_pass", 2000.0, 0.5, mode="exact")
+    ch = Amplify(ch, np.repeat(gains, C))
+    ch = WideMixer(ch, S)
+
+    sf, su = fused.init_state(), ch.init_state()
+    ef = jax.jit(lambda s: fused.emit(s, 640))
+    eu = jax.jit(lambda s: ch.emit(s, 640))
+    for blk in range(25):
+        sf, of, vf = ef(sf)
+        su, ou, vu = eu(su)
+        assert int(vf) == int(vu)
+        if int(vf) == 0:
+            assert float(jnp.max(jnp.abs(of))) == 0.0
+        elif int(vf) == 640:
+            np.testing.assert_allclose(np.asarray(of), np.asarray(ou),
+                                       atol=2e-7)
+
+
+def test_fused_rejects_misaligned_block(rng):
+    fused, _ = _pair(rng, frames=8000)
+    with pytest.raises(AssertionError, match="multiple"):
+        fused.emit(fused.init_state(), 4096)
+
+
+def test_fused_flagship_factory(rng):
+    node, state = make_flagship(8, seconds=0.5, scan_mode="fused", seed=1)
+    state, out, valid = jax.jit(lambda s: node.emit(s, 640))(state)
+    assert out.shape == (2, 640)
+    assert int(valid) == 640
+    assert float(jnp.max(jnp.abs(out))) > 0
+
+    with pytest.raises(ValueError, match="AGC"):
+        make_flagship(8, seconds=0.5, scan_mode="fused", with_agc=True)
+
+
+def test_fused_op_matches_float64(rng):
+    """Whole fused op vs a float64 reference of the same math."""
+    from rodio_tpu.ops.fused import LANES, fused_resample_biquad_mix
+
+    fr, to, m = 147, 160, 2
+    K = 4
+    frames = (K + 2) * fr
+    data = rng.uniform(-1, 1, (LANES, frames)).astype(np.float32)
+    data_t = jnp.asarray(data).T
+    nc = frames // fr
+    fr_p = -(-fr // 8) * 8
+    chunks = jnp.pad(
+        data_t[: nc * fr].reshape(nc, fr, LANES),
+        ((0, 0), (0, fr_p - fr), (0, 0)),
+    )
+    xn_t = data_t[::fr][1 : K + 1]
+
+    node = Resample(SamplesBuffer(LANES, 44100, data), 48000)
+    G0 = np.asarray(node._G0)
+    g1 = np.asarray(node._g1)
+    mixmat = rng.uniform(0.1, 1.0, (8, LANES)).astype(np.float32)
+    z = jnp.zeros((LANES,), jnp.float32)
+    coeffs = (0.3, 0.2, 0.1, -0.4, 0.05)
+    mix, _ = fused_resample_biquad_mix(
+        chunks, 0, xn_t, G0, g1, jnp.asarray(mixmat), coeffs,
+        (z, z, z, z), fr=fr, to=to, m=m,
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    X = data[:, : K * fr].reshape(LANES, K, fr).astype(np.float64)
+    xnext = data[:, fr : (K + 1) * fr : fr].astype(np.float64)
+    Y = np.einsum("ckf,ft->ckt", X, G0.astype(np.float64))
+    Y = Y + xnext[:, :, None] * g1.astype(np.float64)
+    y = Y.reshape(LANES, K * to)
+    b0, b1, b2, a1, a2 = coeffs
+    yy = np.zeros_like(y)
+    x1 = x2 = y1 = y2 = np.zeros(LANES)
+    for t in range(K * to):
+        cur = y[:, t]
+        out = b0 * cur + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
+        yy[:, t] = out
+        x2, x1, y2, y1 = x1, cur, y1, out
+    ref = mixmat.astype(np.float64) @ yy
+    assert np.abs(np.asarray(mix, np.float64) - ref).max() < 1e-4 * np.abs(
+        ref
+    ).max()
