@@ -45,8 +45,12 @@ def _run_scan(node, state, T, n_blocks):
 
 def main():
     n_streams = int(os.environ.get("BENCH_STREAMS", "512"))
+    scan_mode = os.environ.get("BENCH_SCAN_MODE", "fused")
+    if os.environ.get("BENCH_AGC", "0") == "1" and scan_mode == "fused":
+        scan_mode = "pallas"  # the fused kernel has no AGC stage
     T = int(os.environ.get("BENCH_BLOCK", "4096"))
-    scan_mode = os.environ.get("BENCH_SCAN_MODE", "pallas")
+    if scan_mode == "fused":
+        T = max(320, (T // 320) * 320)  # fused blocks align to m*to
     n1 = int(os.environ.get("BENCH_N1", "10"))
     n2 = int(os.environ.get("BENCH_N2", "60"))
 

@@ -56,7 +56,7 @@ class FusedWidePipeline(Node):
     def __init__(self, input_node: Node, to_rate: int, gains,
                  n_streams: int, kind: str = "low_pass",
                  freq: float = 2000.0, q: float = 0.5, *, m: int = 2,
-                 precision: str = "highest"):
+                 precision: str = "auto"):
         assert getattr(input_node, "RANDOM_ACCESS", False) and hasattr(
             input_node, "slice_frames"
         ), "FusedWidePipeline needs a sliceable random-access source"
@@ -75,6 +75,10 @@ class FusedWidePipeline(Node):
         self.to = to_rate // g
         assert self.from_ != self.to, "identity ratio: use the plain chain"
         self.m = m
+        if precision == "auto":
+            # int3: exact single-pass bf16 dots (integer-scaled weights
+            # + exact 3-way bf16 split of the PCM); needs weights <= 256
+            precision = "int3" if self.to <= 256 else "highest"
         self.precision = precision
         # reuse the resampler's constant lerp operator
         self._rs = Resample(input_node, to_rate)
@@ -116,11 +120,19 @@ class FusedWidePipeline(Node):
             data, ((0, self._lanes - data.shape[0]), (0, 0))
         ).T[self._s0 :]                                 # [F - s0, LANES]
         nc = data_t.shape[0] // fr
-        fr_p = -(-fr // 8) * 8
+        fr_p = -(-fr // 16) * 16
         chunks = jnp.pad(
             data_t[: nc * fr].reshape(nc, fr, self._lanes),
             ((0, 0), (0, fr_p - fr), (0, 0)),
         )
+        if self.precision == "int3":
+            # exact 3-way bf16 split: p1+p2+p3 == chunks bitwise (f32 has
+            # 24 mantissa bits = 3 x 8-bit bf16 pieces)
+            p1 = chunks.astype(jnp.bfloat16)
+            r = chunks - p1.astype(chunks.dtype)
+            p2 = r.astype(jnp.bfloat16)
+            p3 = (r - p2.astype(chunks.dtype)).astype(jnp.bfloat16)
+            chunks = jnp.stack([p1, p2, p3], axis=1)
         xn_all_t = data_t[::fr]                         # [Fc, LANES]
         return {
             "in": in_state,

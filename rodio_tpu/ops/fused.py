@@ -42,6 +42,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -52,12 +53,13 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                   mixt_ref, state_ref,
                   out_ref, out_state_ref,
                   carry, xraw, x_scr, y_scr, sems,
-                  *, m: int, to: int, precision):
+                  *, m: int, to: int, precision, int3: bool,
+                  lookahead: int = 1):
     """One sequential time-grid step: m chunk DMAs -> resample -> biquad
     -> mix. All compute is time-major.
 
     c0_ref: [1] SMEM — first chunk index of this block's window.
-    c_ref: [8] SMEM biquad coeffs. chunks_ref: [Nc, fr_p, LANES] HBM PCM.
+    c_ref: [16] SMEM biquad coeffs (direct + look-ahead). chunks_ref: [Nc, fr_p, LANES] HBM PCM.
     xn_ref: [K, LANES] first frame of the chunk AFTER each chunk.
     g0t_ref: [to, fr_p] transposed lerp operator (zero columns past fr);
     g1_ref: [to, 8] (col 0 = boundary column). mixt_ref: [LANES, 8]
@@ -68,7 +70,6 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
     """
     t_idx = pl.program_id(0)
     n_t = pl.num_programs(0)
-    dt = chunks_ref.dtype
 
     b0 = c_ref[0]
     b1 = c_ref[1]
@@ -102,28 +103,68 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
     # 2: resample each chunk on the MXU, stage time-major
     g0t = g0t_ref[...]
     g1col = g1_ref[:, 0:1]  # [to, 1]
+    out_dt = x_scr.dtype
     for k in range(m):
         pltpu.make_async_copy(
             chunks_ref.at[c0 + t_idx * m + k], xraw.at[slot, k],
             sems.at[slot, k]
         ).wait()
-        xk = xraw[slot, k]                             # [fr_p, LANES]
         xnk = xn_ref[pl.ds(t_idx * m + k, 1), :]       # [1, LANES]
-        yk = jnp.dot(g0t, xk, preferred_element_type=dt,
-                     precision=precision)
-        yk = yk + g1col * xnk                          # [to, LANES]
+        if int3:
+            # exact single-pass bf16 dots: g0t holds integer weights
+            # (bf16-exact), xraw holds the PCM split into three exact
+            # bf16 pieces; each product is exact, so the sum of the
+            # three passes reproduces the f32 lerp up to one final
+            # 1/to scale rounding
+            acc = jnp.dot(g0t, xraw[slot, k, 0],
+                          preferred_element_type=out_dt)
+            acc = acc + jnp.dot(g0t, xraw[slot, k, 1],
+                                preferred_element_type=out_dt)
+            acc = acc + jnp.dot(g0t, xraw[slot, k, 2],
+                                preferred_element_type=out_dt)
+            yk = acc * (1.0 / to) + g1col * xnk
+        else:
+            xk = xraw[slot, k]                         # [fr_p, LANES]
+            yk = jnp.dot(g0t, xk, preferred_element_type=out_dt,
+                         precision=precision)
+            yk = yk + g1col * xnk                      # [to, LANES]
         x_scr[k * to : (k + 1) * to] = yk.reshape(to, 8, 128)
 
     # 3: biquad recurrence over the m*to resampled steps
-    def step(t, acc):
-        x1, x2, y1, y2 = acc
-        xcur = x_scr[t]
-        y = b0 * xcur + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
-        y_scr[t] = y
-        return (xcur, x1, y, y1)
-
     init = (carry[0], carry[1], carry[2], carry[3])
-    x1, x2, y1, y2 = jax.lax.fori_loop(0, m * to, step, init)
+    if lookahead == 2:
+        # scattered look-ahead: the odd sample is expressed directly in
+        # terms of (x..., y[t-1], y[t-2]) so the two outputs of one
+        # iteration share a dependency chain of ~1 recurrence instead of
+        # 2 — the loop is issue-bound on the serial chain. Reassociates
+        # f32 ops (ulp-level vs the sequential scan).
+        q1 = c_ref[5]
+        q2 = c_ref[6]
+        q3 = c_ref[7]
+        q4 = c_ref[8]
+        q5 = c_ref[9]
+
+        def step2(i, acc):
+            x1, x2, y1, y2 = acc
+            xe = x_scr[2 * i]
+            xo = x_scr[2 * i + 1]
+            ye = b0 * xe + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
+            yo = (b0 * xo + q1 * xe + q2 * x1 + q3 * x2
+                  + q4 * y1 + q5 * y2)
+            y_scr[2 * i] = ye
+            y_scr[2 * i + 1] = yo
+            return (xo, xe, yo, ye)
+
+        x1, x2, y1, y2 = jax.lax.fori_loop(0, m * to // 2, step2, init)
+    else:
+        def step(t, acc):
+            x1, x2, y1, y2 = acc
+            xcur = x_scr[t]
+            y = b0 * xcur + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
+            y_scr[t] = y
+            return (xcur, x1, y, y1)
+
+        x1, x2, y1, y2 = jax.lax.fori_loop(0, m * to, step, init)
     carry[0] = x1
     carry[1] = x2
     carry[2] = y1
@@ -131,8 +172,8 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
 
     # 4: gain + stream-axis mix as one matmul
     y_t = y_scr[...].reshape(m * to, LANES)
-    mix = jnp.dot(y_t, mixt_ref[...], preferred_element_type=dt,
-                  precision=precision)  # [m*to, 8]
+    mix = jnp.dot(y_t, mixt_ref[...], preferred_element_type=y_t.dtype,
+                  precision=jax.lax.Precision.HIGHEST)  # [m*to, 8]
     out_ref[...] = mix[None]
 
     @pl.when(t_idx == n_t - 1)
@@ -141,11 +182,13 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fr", "to", "m", "interpret", "precision")
+    jax.jit,
+    static_argnames=("fr", "to", "m", "interpret", "precision", "lookahead"),
 )
 def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
                               bq_state, *, fr: int, to: int, m: int = 2,
                               precision: str = "highest",
+                              lookahead: int = 2,
                               interpret: bool = False):
     """Fused pipeline over one block, reading straight from the chunked
     buffer.
@@ -159,26 +202,47 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
 
     Returns (mix [8, K*to], new bq_state tuple each [LANES]).
     """
-    Nc, fr_p, _ = chunks.shape
-    assert fr_p == -(-fr // 8) * 8 and chunks.shape == (Nc, fr_p, LANES)
+    int3 = chunks.ndim == 4
+    if int3:
+        Nc, npc, fr_p, _ = chunks.shape
+        assert npc == 3 and chunks.dtype == jnp.bfloat16
+        assert to <= 256, "int3 path requires integer weights <= 256"
+        assert m <= 2, "int3 with m > 2 exceeds the 16MB VMEM budget"
+    else:
+        Nc, fr_p, _ = chunks.shape
+    assert fr_p >= fr and fr_p % 16 == 0
     K = xn_t.shape[0]
     assert xn_t.shape == (K, LANES) and K % m == 0
-    dt = chunks.dtype
+    dt = xn_t.dtype
 
     st = jnp.stack(list(bq_state), axis=1)             # [LANES, 4]
     g1p = jnp.zeros((to, 8), dt).at[:, 0].set(g1)
-    c = jnp.asarray(list(coeffs) + [0.0, 0.0, 0.0], dtype=dt)
+    b0, b1, b2, a1, a2 = (jnp.asarray(v, dt) for v in coeffs)
+    # look-ahead coefficients (see kernel step2)
+    q = (b1 - a1 * b0, b2 - a1 * b1, -a1 * b2, a1 * a1 - a2, a1 * a2)
+    c = jnp.stack([b0, b1, b2, a1, a2, *q,
+                   *(jnp.zeros((), dt),) * 6])
     c0 = jnp.asarray(c0, jnp.int32).reshape(1)
-    g0t = jnp.pad(jnp.asarray(g0, dt).T, ((0, 0), (0, fr_p - fr)))
+    if int3:
+        # integer-scaled lerp weights: g0*to has entries in [0, to],
+        # exactly representable in bf16 for to <= 256
+        g0t = jnp.pad(
+            jnp.rint(jnp.asarray(g0, dt) * to).astype(jnp.bfloat16).T,
+            ((0, 0), (0, fr_p - fr)),
+        )
+    else:
+        g0t = jnp.pad(jnp.asarray(g0, dt).T, ((0, 0), (0, fr_p - fr)))
     mixt = mixmat.T
 
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
-            "default": jax.lax.Precision.DEFAULT}[precision]
+            "default": jax.lax.Precision.DEFAULT,
+            "int3": jax.lax.Precision.DEFAULT}[precision]
     n_t = K // m
     mem = pltpu.ANY if interpret else pltpu.VMEM
     out3, out_state = pl.pallas_call(
-        functools.partial(_fused_kernel, m=m, to=to, precision=prec),
+        functools.partial(_fused_kernel, m=m, to=to, precision=prec,
+                          int3=int3, lookahead=lookahead),
         grid=(n_t,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # c0
@@ -201,7 +265,8 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
         ),
         scratch_shapes=[
             pltpu.VMEM((4, 8, 128), dt),
-            pltpu.VMEM((2, m, fr_p, LANES), dt),
+            pltpu.VMEM((2, m, 3, fr_p, LANES), jnp.bfloat16) if int3
+            else pltpu.VMEM((2, m, fr_p, LANES), dt),
             pltpu.VMEM((m * to, 8, 128), dt),
             pltpu.VMEM((m * to, 8, 128), dt),
             pltpu.SemaphoreType.DMA((2, m)),

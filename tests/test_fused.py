@@ -131,7 +131,7 @@ def test_fused_op_matches_float64(rng):
     data = rng.uniform(-1, 1, (LANES, frames)).astype(np.float32)
     data_t = jnp.asarray(data).T
     nc = frames // fr
-    fr_p = -(-fr // 8) * 8
+    fr_p = -(-fr // 16) * 16
     chunks = jnp.pad(
         data_t[: nc * fr].reshape(nc, fr, LANES),
         ((0, 0), (0, fr_p - fr), (0, 0)),
