@@ -134,6 +134,9 @@ class FusedWidePipeline(Node):
             p3 = (r - p2.astype(chunks.dtype)).astype(jnp.bfloat16)
             chunks = jnp.stack([p1, p2, p3], axis=1)
         xn_all_t = data_t[::fr]                         # [Fc, LANES]
+        # the PCM lives only in the chunked layout: drop the upstream
+        # buffer's copy (emit touches just its pos/end scalars)
+        in_state = {k: v for k, v in in_state.items() if k != "data"}
         return {
             "in": in_state,
             "chunks": chunks,
