@@ -50,7 +50,7 @@ def main():
         scan_mode = "pallas"  # the fused kernel has no AGC stage
     T = int(os.environ.get("BENCH_BLOCK", "4096"))
     if scan_mode == "fused":
-        T = max(320, (T // 320) * 320)  # fused blocks align to m*to
+        T = max(320, -(-T // 320) * 320)  # fused blocks align to m*to
     n1 = int(os.environ.get("BENCH_N1", "10"))
     n2 = int(os.environ.get("BENCH_N2", "60"))
 

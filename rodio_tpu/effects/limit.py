@@ -136,6 +136,33 @@ class Limit(Node):
         rel = dt(self.release)
         att = dt(self.attack)
 
+        mode0 = self.mode
+        if mode0 == "auto":
+            mode0 = "pallas" if jax.default_backend() == "tpu" else "exact"
+        if (
+            mode0 == "pallas"
+            and self.streams == 1
+            and self.spec.channels == 2
+        ):
+            # largest power-of-two chunk count dividing the block: the
+            # blocked kernel runs the WHOLE limiter in one dispatch with
+            # sequential depth n/P + log2(P) instead of n
+            P = min(128, n & -n)
+            if P >= 8:
+                from ..ops.limiter_block import limiter_master_pallas
+
+                y, (integ_c, peak_c) = limiter_master_pallas(
+                    x, state["integ"], state["peak"],
+                    att=self.attack, rel=self.release,
+                    threshold=self.threshold, knee_width=self.knee_width,
+                    inv_knee_8=self.inv_knee_8, P=P,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                y = mask_block(y, valid)
+                return (
+                    {"in": s, "integ": integ_c, "peak": peak_c}, y, valid
+                )
+
         db = limiter_gain_db(
             x, dt(self.threshold), dt(self.knee_width), dt(self.inv_knee_8)
         )  # [C, T]

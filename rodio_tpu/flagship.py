@@ -56,7 +56,7 @@ class FusedWidePipeline(Node):
     def __init__(self, input_node: Node, to_rate: int, gains,
                  n_streams: int, kind: str = "low_pass",
                  freq: float = 2000.0, q: float = 0.5, *, m: int = 2,
-                 precision: str = "auto"):
+                 precision: str = "auto", lookahead: int = 4):
         assert getattr(input_node, "RANDOM_ACCESS", False) and hasattr(
             input_node, "slice_frames"
         ), "FusedWidePipeline needs a sliceable random-access source"
@@ -75,6 +75,7 @@ class FusedWidePipeline(Node):
         self.to = to_rate // g
         assert self.from_ != self.to, "identity ratio: use the plain chain"
         self.m = m
+        self.lookahead = lookahead
         if precision == "auto":
             # int3: exact single-pass bf16 dots (integer-scaled weights
             # + exact 3-way bf16 split of the PCM); needs weights <= 256
@@ -179,7 +180,8 @@ class FusedWidePipeline(Node):
         mix8, bq = fused_resample_biquad_mix(
             chunks, c0c, xn_t, self._rs._G0, self._rs._g1, self._mixmat,
             self.coeffs, state["bq"], fr=fr, to=to, m=m,
-            precision=self.precision, interpret=interpret,
+            precision=self.precision, lookahead=self.lookahead,
+            interpret=interpret,
         )
         out = mix8[: self.spec.channels, :]
 

@@ -59,7 +59,7 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
     -> mix. All compute is time-major.
 
     c0_ref: [1] SMEM — first chunk index of this block's window.
-    c_ref: [16] SMEM biquad coeffs (direct + look-ahead). chunks_ref: [Nc, fr_p, LANES] HBM PCM.
+    c_ref: SMEM biquad coeffs (b0 b1 b2 a1 a2 + packed look-ahead rows). chunks_ref: [Nc, fr_p, LANES] HBM PCM.
     xn_ref: [K, LANES] first frame of the chunk AFTER each chunk.
     g0t_ref: [to, fr_p] transposed lerp operator (zero columns past fr);
     g1_ref: [to, 8] (col 0 = boundary column). mixt_ref: [LANES, 8]
@@ -132,30 +132,38 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
 
     # 3: biquad recurrence over the m*to resampled steps
     init = (carry[0], carry[1], carry[2], carry[3])
-    if lookahead == 2:
-        # scattered look-ahead: the odd sample is expressed directly in
-        # terms of (x..., y[t-1], y[t-2]) so the two outputs of one
-        # iteration share a dependency chain of ~1 recurrence instead of
-        # 2 — the loop is issue-bound on the serial chain. Reassociates
-        # f32 ops (ulp-level vs the sequential scan).
-        q1 = c_ref[5]
-        q2 = c_ref[6]
-        q3 = c_ref[7]
-        q4 = c_ref[8]
-        q5 = c_ref[9]
+    if lookahead > 1:
+        # scattered look-ahead: all `lookahead` outputs of one iteration
+        # are expressed directly in the iteration-entry state, so the
+        # serial dependency chain advances `lookahead` samples per round
+        # trip (the loop is latency-bound, not issue-bound). Coefficient
+        # rows come from c_ref[5:] (see the wrapper derivation).
+        LA = lookahead
 
-        def step2(i, acc):
+        def step_la(i, acc):
             x1, x2, y1, y2 = acc
-            xe = x_scr[2 * i]
-            xo = x_scr[2 * i + 1]
-            ye = b0 * xe + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
-            yo = (b0 * xo + q1 * xe + q2 * x1 + q3 * x2
-                  + q4 * y1 + q5 * y2)
-            y_scr[2 * i] = ye
-            y_scr[2 * i + 1] = yo
-            return (xo, xe, yo, ye)
+            t = LA * i
+            xs = [x_scr[t + j] for j in range(LA)]
+            ys = []
+            base = 5
+            for k in range(LA):
+                if k == 0:
+                    y = (b0 * xs[0] + b1 * x1 + b2 * x2
+                         - a1 * y1 - a2 * y2)
+                else:
+                    nco = k + 4
+                    cf = [c_ref[base + j] for j in range(nco)]
+                    base += nco
+                    y = b0 * xs[k]
+                    for j in range(k):       # x[t+k-1-j] ... x[t]
+                        y = y + cf[j] * xs[k - 1 - j]
+                    y = (y + cf[k] * x1 + cf[k + 1] * x2
+                         + cf[k + 2] * y1 + cf[k + 3] * y2)
+                y_scr[t + k] = y
+                ys.append(y)
+            return (xs[-1], xs[-2], ys[-1], ys[-2])
 
-        x1, x2, y1, y2 = jax.lax.fori_loop(0, m * to // 2, step2, init)
+        x1, x2, y1, y2 = jax.lax.fori_loop(0, m * to // LA, step_la, init)
     else:
         def step(t, acc):
             x1, x2, y1, y2 = acc
@@ -165,6 +173,7 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
             return (xcur, x1, y, y1)
 
         x1, x2, y1, y2 = jax.lax.fori_loop(0, m * to, step, init)
+
     carry[0] = x1
     carry[1] = x2
     carry[2] = y1
@@ -218,10 +227,40 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
     st = jnp.stack(list(bq_state), axis=1)             # [LANES, 4]
     g1p = jnp.zeros((to, 8), dt).at[:, 0].set(g1)
     b0, b1, b2, a1, a2 = (jnp.asarray(v, dt) for v in coeffs)
-    # look-ahead coefficients (see kernel step2)
-    q = (b1 - a1 * b0, b2 - a1 * b1, -a1 * b2, a1 * a1 - a2, a1 * a2)
-    c = jnp.stack([b0, b1, b2, a1, a2, *q,
-                   *(jnp.zeros((), dt),) * 6])
+    # look-ahead coefficient rows: y[t+k] = b0 x[t+k] + row_k . basis with
+    # basis = (x[t+LA-2], ..., x[t], x[t-1], x[t-2], y[t-1], y[t-2]),
+    # derived by unrolling the recurrence into itself. Row k has k+4
+    # meaningful coefficients (x[t+k-1..t], x1, x2, y1, y2).
+    LA = max(lookahead, 2)
+    W = LA + 3  # basis width
+    zero = jnp.zeros((), dt)
+    one = jnp.ones((), dt)
+
+    def x_unit(j):  # basis vector for x[t+j], j in [-2, LA-2]
+        v = [zero] * W
+        v[LA - 2 - j] = one
+        return v
+
+    def madd(*pairs):
+        out = [zero] * W
+        for coef, vec in pairs:
+            out = [o + coef * e for o, e in zip(out, vec)]
+        return out
+
+    y_prev2 = [zero] * (W - 1) + [one]          # y[t-2]
+    y_prev1 = [zero] * (W - 2) + [one, zero]    # y[t-1]
+    packed = [b0, b1, b2, a1, a2]
+    for k in range(LA):
+        row = madd((b1, x_unit(k - 1)), (b2, x_unit(k - 2)),
+                   (-a1, y_prev1), (-a2, y_prev2))
+        if k >= 1:
+            # trim to the k+4 meaningful coefficients
+            packed.extend(row[W - 4 - k :])
+        y_full = madd((one, row), (b0, x_unit(k)))
+        y_prev2 = y_prev1
+        y_prev1 = y_full
+    n_smem = -(-len(packed) // 8) * 8
+    c = jnp.stack(packed + [zero] * (n_smem - len(packed)))
     c0 = jnp.asarray(c0, jnp.int32).reshape(1)
     if int3:
         # integer-scaled lerp weights: g0*to has entries in [0, to],

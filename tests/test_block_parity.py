@@ -539,8 +539,9 @@ def test_limit_wide_stream_groups(rng):
         np.testing.assert_allclose(got[s * C : (s + 1) * C], per[s], atol=1e-6)
 
 
-def test_limit_pallas_mode(rng):
-    """Pallas-kernel limiter equals the exact scan bit-for-bit."""
+def test_limit_pallas_mode_blocked(rng):
+    """The blocked parallel-in-time limiter (power-of-two block sizes,
+    stereo master bus) matches the exact scan to reassociation ulps."""
     data = (rng.uniform(-1, 1, (2, 3000)) * 2.0).astype(np.float32)
     exact = np.asarray(render(
         Limit(SamplesBuffer(2, 44100, data), LimitSettings(), mode="exact"),
@@ -548,6 +549,19 @@ def test_limit_pallas_mode(rng):
     pal = np.asarray(render(
         Limit(SamplesBuffer(2, 44100, data), LimitSettings(), mode="pallas"),
         block_frames=512))
+    np.testing.assert_allclose(pal, exact, atol=4e-6)
+
+
+def test_limit_pallas_mode_sequential(rng):
+    """Block sizes without a power-of-two factor fall back to the
+    sequential envelope kernel, which is bit-identical to the scan."""
+    data = (rng.uniform(-1, 1, (2, 3000)) * 2.0).astype(np.float32)
+    exact = np.asarray(render(
+        Limit(SamplesBuffer(2, 44100, data), LimitSettings(), mode="exact"),
+        block_frames=251))
+    pal = np.asarray(render(
+        Limit(SamplesBuffer(2, 44100, data), LimitSettings(), mode="pallas"),
+        block_frames=251))
     np.testing.assert_array_equal(pal, exact)
 
 
