@@ -125,6 +125,63 @@ class AutomaticGainControl(Node):
             idx = (widx + jnp.arange(m, dtype=jnp.int32)) % RMS_WINDOW_SIZE
             old = jnp.take(state["window"], idx, axis=1)
 
+        P = min(128, m & -m)
+        if self.mode == "pallas" and S <= 8 and P >= 8:
+            # decomposed fast path: the RMS sum is a cumsum (parallel),
+            # the peak detector is a constant-coefficient max-affine scan
+            # (blocked parallel-in-time, ops/limiter_block.py), the
+            # desired-gain computer is elementwise — only the dual-rate
+            # gain smoother (src/source/agc.rs:486-496) stays a serial
+            # kernel, at ~6 ops/step instead of the ~40 of the fully
+            # fused loop
+            from ..ops.limiter_block import blocked_max_affine_const
+            from ..ops.pallas_scan import first_order_pallas
+
+            interp = jax.default_backend() != "tpu"
+            rsum_seq = state["rms_sum"][:, None] + jnp.cumsum(
+                sq - old, axis=1
+            )
+            peak_seq = blocked_max_affine_const(
+                xs, state["peak"], a=float(rel), P=P, interpret=interp
+            )
+            rms_gain = jnp.where(
+                rsum_seq > 0.0,
+                target * jax.lax.rsqrt(rsum_seq / RMS_WINDOW_SIZE),
+                max_gain,
+            )
+            peak_gain = jnp.where(
+                peak_seq > 0.0,
+                jnp.minimum(target / peak_seq, max_gain),
+                max_gain,
+            )
+            des = jnp.maximum(jnp.minimum(rms_gain, peak_gain), floor)
+            gain_seq = first_order_pallas(
+                des, des, state["gain"], op="agc_gain",
+                params=(float(att), float(rel), float(max_gain)),
+                interpret=interp,
+            )
+            peak_c = peak_seq[:, m - 1]
+            sum_c = rsum_seq[:, m - 1]
+            gain_c = gain_seq[:, m - 1]
+            y = (xg * gain_seq).reshape(S, t, cg).transpose(0, 2, 1)
+            y = mask_block(y.reshape(c_total, t), valid)
+            if m >= RMS_WINDOW_SIZE:
+                pos = (widx + jnp.arange(m - RMS_WINDOW_SIZE, m,
+                                         dtype=jnp.int32)) % RMS_WINDOW_SIZE
+                window_new = state["window"].at[:, pos].set(
+                    sq[:, m - RMS_WINDOW_SIZE :]
+                )
+            else:
+                pos = (widx + jnp.arange(m, dtype=jnp.int32)) % RMS_WINDOW_SIZE
+                window_new = state["window"].at[:, pos].set(sq)
+            return (
+                {"in": s, "peak": peak_c, "gain": gain_c, "rms_sum": sum_c,
+                 "window": window_new,
+                 "widx": (widx + m) % RMS_WINDOW_SIZE},
+                y,
+                valid,
+            )
+
         if self.mode == "pallas":
             # the whole per-sample loop as ONE fused kernel
             from ..ops.pallas_scan import agc_pallas

@@ -26,7 +26,10 @@ Per sequential grid step (m resample chunks = m*to output frames):
      conversions/resample.py:_build_lerp_matrix — staged time-major,
   3. the biquad direct-form-I recurrence over the m*to time steps with a
      VMEM carry persisting across grid steps (src/source/blt.rs:556-561
-     semantics, identical op order to ops/pallas_scan.biquad_df1_pallas),
+     semantics); a scattered look-ahead unrolling (default width 4, see
+     the wrapper's coefficient derivation) expresses each group of
+     outputs directly in the iteration-entry state, cutting the
+     latency-bound serial chain to one recurrence per 4 samples,
   4. one mix matmul  y[m*to, LANES] @ M^T[LANES, 8]  where
      M[c, l] = gain_l * [l % C == c]  — per-stream gain and the mixer's
      N-way sum (src/mixer.rs:185-198) fused into a single MXU op.

@@ -34,7 +34,6 @@ on unit-scale audio.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -226,3 +225,99 @@ def limiter_master_pallas(x, integ0, peak0, *, att: float, rel: float,
 
     y = y3[:, :C, :P].transpose(1, 2, 0).reshape(C, T)
     return y, (out_state[:C, 0], out_state[:C, 1])
+
+
+def _bma_kernel(x_ref, v0_ref, relpow_ref, y_ref, out_c_ref,
+                b_scr, c_scr, *, Lc: int, P: int, a: float):
+    """Blocked y_t = max(x_t, a*y' + (1-a)*x_t) values over [Lc, 8, 128]
+    (instant-attack/slow-release peak detector — src/source/agc.rs:433-444
+    and the limiter integrator share this form)."""
+    ca = 1.0 - a
+    dt = x_ref.dtype
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    neg = jnp.full((8, 128), -_BIG, dt)
+    zero = jnp.zeros((8, 128), dt)
+
+    def loop1(t, acc):
+        B, C = acc
+        d = x_ref[t]
+        B = jnp.maximum(d, a * B + ca * d)
+        C = a * C + ca * d
+        b_scr[t] = B
+        c_scr[t] = C
+        return (B, C)
+
+    jax.lax.fori_loop(0, Lc, loop1, (neg, zero))
+
+    A1 = jnp.full((8, 128), a ** Lc, dt)
+    B1 = b_scr[Lc - 1]
+    C1 = c_scr[Lc - 1]
+    k = 1
+    while k < P:
+        As = pltpu.roll(A1, k, 1)
+        Bs = pltpu.roll(B1, k, 1)
+        Cs = pltpu.roll(C1, k, 1)
+        m = lane >= k
+        B1 = jnp.where(m, jnp.maximum(B1, A1 * Bs + C1), B1)
+        C1 = jnp.where(m, A1 * Cs + C1, C1)
+        A1 = jnp.where(m, A1 * As, A1)
+        k *= 2
+    v0 = v0_ref[:, 0:1]
+    As = pltpu.roll(A1, 1, 1)
+    Bs = pltpu.roll(B1, 1, 1)
+    Cs = pltpu.roll(C1, 1, 1)
+    v_in = jnp.where(lane == 0, v0 + zero, jnp.maximum(Bs, As * v0 + Cs))
+
+    def loop2(t, _):
+        y_ref[t] = jnp.maximum(
+            b_scr[t], relpow_ref[t] * v_in + c_scr[t]
+        )
+        return 0
+
+    jax.lax.fori_loop(0, Lc, loop2, 0)
+    out_c_ref[...] = jnp.zeros((8, 1), dt)  # caller uses y[:, -1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("a", "P", "interpret")
+)
+def blocked_max_affine_const(x, v0, *, a: float, P: int = 128,
+                             interpret: bool = False):
+    """y_t = max(x_t, a*y_{t-1} + (1-a)*x_t) values over x [L, M], L <= 8,
+    M % P == 0, in one kernel with sequential depth M/P + log2(P)."""
+    L, M = x.shape
+    assert L <= 8 and M % P == 0 and P <= 128 and P & (P - 1) == 0
+    Lc = M // P
+    dt = x.dtype
+    x3 = jnp.pad(
+        x.reshape(L, P, Lc).transpose(2, 0, 1),
+        ((0, 0), (0, 8 - L), (0, 128 - P)),
+    )
+    v = jnp.pad(v0, (0, 8 - L))[:, None]
+    tt = np.arange(1, Lc + 1, dtype=np.float64)
+    relpow = jnp.asarray(np.power(float(a), tt), dt)
+
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+    y3, _ = pl.pallas_call(
+        functools.partial(_bma_kernel, Lc=Lc, P=P, a=a),
+        in_specs=[
+            pl.BlockSpec(memory_space=mem),
+            pl.BlockSpec(memory_space=mem),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=mem),
+            pl.BlockSpec(memory_space=mem),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Lc, 8, 128), dt),
+            jax.ShapeDtypeStruct((8, 1), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Lc, 8, 128), dt),
+            pltpu.VMEM((Lc, 8, 128), dt),
+        ],
+        interpret=interpret,
+    )(x3, v, relpow)
+
+    return y3[:, :L, :P].transpose(1, 2, 0).reshape(L, M)
