@@ -104,7 +104,8 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
         _start(t_idx + 1, jax.lax.rem(t_idx + 1, 2))
 
     # 2: resample each chunk on the MXU, stage time-major
-    g0t = g0t_ref[...]
+    if not int3:
+        g0t = g0t_ref[...]
     g1col = g1_ref[:, 0:1]  # [to, 1]
     out_dt = x_scr.dtype
     for k in range(m):
@@ -114,17 +115,14 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
         ).wait()
         xnk = xn_ref[pl.ds(t_idx * m + k, 1), :]       # [1, LANES]
         if int3:
-            # exact single-pass bf16 dots: g0t holds integer weights
-            # (bf16-exact), xraw holds the PCM split into three exact
-            # bf16 pieces; each product is exact, so the sum of the
-            # three passes reproduces the f32 lerp up to one final
-            # 1/to scale rounding
-            acc = jnp.dot(g0t, xraw[slot, k, 0],
+            # exact single-pass bf16 matmul: g0t is the integer-scaled
+            # lerp operator tiled 3x along the contraction axis, xraw
+            # holds the PCM split into three exact bf16 pieces stacked
+            # the same way, so ONE dot computes the summed pieces with
+            # every product exact; the f32 lerp is reproduced up to one
+            # final 1/to scale rounding
+            acc = jnp.dot(g0t_ref[...], xraw[slot, k],
                           preferred_element_type=out_dt)
-            acc = acc + jnp.dot(g0t, xraw[slot, k, 1],
-                                preferred_element_type=out_dt)
-            acc = acc + jnp.dot(g0t, xraw[slot, k, 2],
-                                preferred_element_type=out_dt)
             yk = acc * (1.0 / to) + g1col * xnk
         else:
             xk = xraw[slot, k]                         # [fr_p, LANES]
@@ -267,11 +265,14 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
     c0 = jnp.asarray(c0, jnp.int32).reshape(1)
     if int3:
         # integer-scaled lerp weights: g0*to has entries in [0, to],
-        # exactly representable in bf16 for to <= 256
-        g0t = jnp.pad(
+        # exactly representable in bf16 for to <= 256; tiled 3x along
+        # the contraction axis to match the stacked bf16 pieces
+        g1w = jnp.pad(
             jnp.rint(jnp.asarray(g0, dt) * to).astype(jnp.bfloat16).T,
             ((0, 0), (0, fr_p - fr)),
         )
+        g0t = jnp.concatenate([g1w, g1w, g1w], axis=1)  # [to, 3*fr_p]
+        chunks = chunks.reshape(Nc, 3 * fr_p, LANES)
     else:
         g0t = jnp.pad(jnp.asarray(g0, dt).T, ((0, 0), (0, fr_p - fr)))
     mixt = mixmat.T
@@ -291,7 +292,7 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
             pl.BlockSpec(memory_space=pltpu.SMEM),      # coeffs
             pl.BlockSpec(memory_space=pltpu.ANY),       # chunks (HBM)
             pl.BlockSpec((K, LANES), lambda t: (0, 0), memory_space=mem),
-            pl.BlockSpec((to, fr_p), lambda t: (0, 0), memory_space=mem),
+            pl.BlockSpec(g0t.shape, lambda t: (0, 0), memory_space=mem),
             pl.BlockSpec((to, 8), lambda t: (0, 0), memory_space=mem),
             pl.BlockSpec((LANES, 8), lambda t: (0, 0), memory_space=mem),
             pl.BlockSpec((LANES, 4), lambda t: (0, 0), memory_space=mem),
@@ -307,7 +308,7 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
         ),
         scratch_shapes=[
             pltpu.VMEM((4, 8, 128), dt),
-            pltpu.VMEM((2, m, 3, fr_p, LANES), jnp.bfloat16) if int3
+            pltpu.VMEM((2, m, 3 * fr_p, LANES), jnp.bfloat16) if int3
             else pltpu.VMEM((2, m, fr_p, LANES), dt),
             pltpu.VMEM((m * to, 8, 128), dt),
             pltpu.VMEM((m * to, 8, 128), dt),
