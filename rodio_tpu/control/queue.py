@@ -99,7 +99,7 @@ class SourcesQueueOutput:
             return self.input.next_sounds[0][0].spec.sample_rate
         return DEFAULT_SAMPLE_RATE
 
-    def _go_next(self) -> bool:
+    def _go_next(self, target_rate: Optional[int] = None) -> bool:
         if self.signal_after_end is not None:
             self.signal_after_end[0] = True
             cb = getattr(self.signal_after_end, "callback", None)
@@ -110,6 +110,17 @@ class SourcesQueueOutput:
             self.current = None
             return False
         node, signal = self.input.next_sounds.popleft()
+        if target_rate is not None and node.spec.sample_rate != target_rate:
+            # Mid-block stitch at a different sample rate: resample the
+            # incoming source to the rate the block was started at, so the
+            # stitched tail plays at the right pitch. (The reference's queue
+            # changes rate at a span boundary and lets a downstream
+            # UniformSourceIterator re-bootstrap, src/queue.rs:166-192; the
+            # block engine's fixed [C, n] block can't change rate mid-block,
+            # so the conversion happens here instead.)
+            from ..conversions.uniform import Uniform
+
+            node = Uniform(node, node.spec.channels, target_rate)
         self.current = {
             "node": node,
             "state": node.init_state(),
@@ -153,10 +164,13 @@ class SourcesQueueOutput:
 
     def _next_block_inner(self, n: int):
         channels = self.channels()
+        rate = self.sample_rate()
         out = np.zeros((channels, n), dtype=np.float32)
         filled = 0
         while filled < n:
-            if self.current is None and not self._go_next():
+            if self.current is None and not self._go_next(
+                target_rate=rate if filled > 0 else None
+            ):
                 if self.input.keep_alive_if_empty:
                     return out, True  # rest of block stays silent
                 return (out, True) if filled > 0 else (out, False)

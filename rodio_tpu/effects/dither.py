@@ -36,35 +36,42 @@ class Dither(Node):
         return self.input.total_frames()
 
     def init_state(self) -> State:
-        return {
+        st = {
             "in": self.input.init_state(),
             "key": jax.random.key(self.seed),
             "i": jnp.zeros((), dtype=jnp.int32),
         }
+        if self.algorithm == "highpass":
+            # last white sample per channel, carried across blocks so the
+            # differentiated (blue) noise is continuous at block boundaries
+            # and independent of block size (same carry as sources.noise.Blue)
+            st["prev"] = jnp.zeros((self.spec.channels,), dtype=float_dtype())
+        return st
 
-    def _noise(self, key, c, n):
+    def _noise(self, key, c, n, prev=None):
         dt = float_dtype()
         if self.algorithm == "tpdf":
             u = jax.random.uniform(key, (2, c, n), dtype=dt)
-            return u[0] - u[1]
+            return u[0] - u[1], None
         if self.algorithm == "rpdf":
             return jax.random.uniform(key, (c, n), dtype=dt, minval=-1.0,
-                                      maxval=1.0)
+                                      maxval=1.0), None
         if self.algorithm == "gpdf":
-            return jax.random.normal(key, (c, n), dtype=dt) * GAUSSIAN_STD
-        # highpass: independent blue noise per channel = differentiated white
-        u = jax.random.uniform(key, (c, n + 1), dtype=dt, minval=-1.0,
-                               maxval=1.0)
-        return u[:, 1:] - u[:, :-1]
+            return jax.random.normal(key, (c, n), dtype=dt) * GAUSSIAN_STD, None
+        # highpass: independent blue noise per channel = differentiated white,
+        # differenced against the carried previous white sample
+        u = jax.random.uniform(key, (c, n), dtype=dt, minval=-1.0, maxval=1.0)
+        shifted = jnp.concatenate([prev[:, None], u[:, :-1]], axis=1)
+        return u - shifted, u[:, -1]
 
     def emit(self, state: State, n: int):
         s, block, valid = self.input.emit(state["in"], n)
         k = jax.random.fold_in(state["key"], state["i"])
-        noise = self._noise(k, self.spec.channels, n)
+        noise, new_prev = self._noise(k, self.spec.channels, n,
+                                      state.get("prev"))
         out = block - noise * self.lsb_amplitude
         out = mask_block(out, valid)
-        return (
-            {"in": s, "key": state["key"], "i": state["i"] + n},
-            out,
-            valid,
-        )
+        new = {"in": s, "key": state["key"], "i": state["i"] + n}
+        if self.algorithm == "highpass":
+            new["prev"] = new_prev
+        return new, out, valid

@@ -42,6 +42,13 @@ def load_state(path: str, like: Any) -> Any:
             f"checkpoint has {n} leaves; graph state has {len(like_leaves)} "
             "(graph structure changed?)"
         )
+    if meta.get("treedef") is not None and meta["treedef"] != str(treedef):
+        raise ValueError(
+            "checkpoint tree structure does not match graph state "
+            "(graph restructured?):\n"
+            f"  saved:   {meta['treedef']}\n"
+            f"  current: {treedef}"
+        )
     leaves = []
     for i, ref in enumerate(like_leaves):
         arr = data[f"leaf_{i}"]

@@ -79,6 +79,15 @@ class BitReader {
     return (v & sign) ? (int32_t)(v | ~(sign + (sign - 1))) : (int32_t)v;
   }
 
+  // sign-extended read for widths up to 64 (side channels of 32-bit
+  // streams carry 33-bit samples, RFC 9639 §9.2.3)
+  int64_t signed_bits64(unsigned n) {
+    if (n == 0) return 0;
+    uint64_t v = bits64(n);
+    uint64_t sign = 1ull << (n - 1);
+    return (v & sign) ? (int64_t)(v | ~(sign | (sign - 1))) : (int64_t)v;
+  }
+
   // unary: count zeros until a 1 bit
   uint32_t unary() {
     uint32_t q = 0;
@@ -132,6 +141,11 @@ bool decode_residual(BitReader& br, unsigned order, unsigned block_size,
   unsigned partitions = 1u << partition_order;
   if (block_size % partitions != 0) return false;
   unsigned part_len = block_size >> partition_order;
+  // RFC 9639: the first partition holds part_len - order residuals, so the
+  // predictor order must not exceed the partition length. An unchecked
+  // malformed header would underflow `count` below to ~2^32 and overflow
+  // the block_size-sized output buffer.
+  if (part_len == 0 || order > part_len) return false;
   unsigned idx = order;
   for (unsigned p = 0; p < partitions; ++p) {
     unsigned count = part_len - (p == 0 ? order : 0);
@@ -168,17 +182,20 @@ bool decode_subframe(BitReader& br, unsigned block_size, unsigned bps,
   unsigned wasted = 0;
   if (br.bits(1)) {  // wasted bits flag
     wasted = 1 + br.unary();
+    if (wasted >= bps) return false;  // would underflow the sample width
     bps -= wasted;
   }
+  if (bps > 33) return false;  // 32-bit stream + side-channel extra bit max
 
   if (type == 0) {  // CONSTANT
-    int64_t v = br.signed_bits(bps);
+    int64_t v = br.signed_bits64(bps);
     for (unsigned i = 0; i < block_size; ++i) out[i] = v;
   } else if (type == 1) {  // VERBATIM
-    for (unsigned i = 0; i < block_size; ++i) out[i] = br.signed_bits(bps);
+    for (unsigned i = 0; i < block_size; ++i) out[i] = br.signed_bits64(bps);
   } else if (type >= 8 && type <= 12) {  // FIXED order 0..4
     unsigned order = type - 8;
-    for (unsigned i = 0; i < order; ++i) out[i] = br.signed_bits(bps);
+    if (order > block_size) return false;
+    for (unsigned i = 0; i < order; ++i) out[i] = br.signed_bits64(bps);
     if (!decode_residual(br, order, block_size, out)) return false;
     const int* c = kFixedCoefs[order];
     for (unsigned i = order; i < block_size; ++i) {
@@ -188,7 +205,8 @@ bool decode_subframe(BitReader& br, unsigned block_size, unsigned bps,
     }
   } else if (type >= 32) {  // LPC, order = type - 31
     unsigned order = type - 31;
-    for (unsigned i = 0; i < order; ++i) out[i] = br.signed_bits(bps);
+    if (order > block_size) return false;
+    for (unsigned i = 0; i < order; ++i) out[i] = br.signed_bits64(bps);
     unsigned precision = br.bits(4) + 1;
     if (precision == 16) return false;  // invalid
     int shift = br.signed_bits(5);

@@ -34,10 +34,12 @@ Per sequential grid step (m resample chunks = m*to output frames):
      M[c, l] = gain_l * [l % C == c]  — per-stream gain and the mixer's
      N-way sum (src/mixer.rs:185-198) fused into a single MXU op.
 
-Numerics: the biquad is bit-identical to the sequential scan; the resample
-and mix matmuls accumulate on the MXU in a different order than the
-unfused einsum/reshape-sum, so outputs agree to ~1e-6 (f32 roundoff), not
-bitwise.
+Numerics: the biquad is bit-identical to the sequential scan only for
+lookahead=1; with lookahead>1 (the default is 2, the flagship uses 4) the
+unrolled coefficient rows reassociate the recurrence arithmetic, so the
+biquad agrees only to ~ulp level. The resample and mix matmuls accumulate
+on the MXU in a different order than the unfused einsum/reshape-sum, so
+those stages agree to ~1e-6 (f32 roundoff), not bitwise.
 """
 from __future__ import annotations
 

@@ -759,21 +759,33 @@ def spatial_volumes(emitter_pos, left_ear, right_ear):
         d = a - b
         return F(np.sum(d * d, dtype=np.float32))
 
+    def rust_min(a, b):
+        # f32::min semantics: if one operand is NaN, return the other.
+        # Python's min() would propagate a NaN first argument instead.
+        if np.isnan(a):
+            return b
+        if np.isnan(b):
+            return a
+        return min(a, b)
+
     left_dist_sq = dist_sq(l, e)
     right_dist_sq = dist_sq(r, e)
     max_diff = F(np.sqrt(dist_sq(l, r)))
     left_dist = F(np.sqrt(left_dist_sq))
     right_dist = F(np.sqrt(right_dist_sq))
-    left_diff_modifier = min(
-        F(F(F(F(left_dist - right_dist) / max_diff + F(1.0)) / F(4.0)) + F(0.5)),
-        F(1.0),
-    )
-    right_diff_modifier = min(
-        F(F(F(F(right_dist - left_dist) / max_diff + F(1.0)) / F(4.0)) + F(0.5)),
-        F(1.0),
-    )
-    left_dist_modifier = min(F(F(1.0) / left_dist_sq), F(1.0))
-    right_dist_modifier = min(F(F(1.0) / right_dist_sq), F(1.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # coincident ears (max_diff=0) give 0/0=NaN -> modifier 1.0 via
+        # rust_min; emitter at an ear (dist_sq=0) gives 1/0=inf -> 1.0
+        left_diff_modifier = rust_min(
+            F(F(F(F(left_dist - right_dist) / max_diff + F(1.0)) / F(4.0)) + F(0.5)),
+            F(1.0),
+        )
+        right_diff_modifier = rust_min(
+            F(F(F(F(right_dist - left_dist) / max_diff + F(1.0)) / F(4.0)) + F(0.5)),
+            F(1.0),
+        )
+        left_dist_modifier = rust_min(F(F(1.0) / left_dist_sq), F(1.0))
+        right_dist_modifier = rust_min(F(F(1.0) / right_dist_sq), F(1.0))
     return (
         F(left_diff_modifier * left_dist_modifier),
         F(right_diff_modifier * right_dist_modifier),

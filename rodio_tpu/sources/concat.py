@@ -41,14 +41,14 @@ class FactoryQueueOutput(SourcesQueueOutput):
         self._factory = factory
         self._factory_done = False
 
-    def _go_next(self) -> bool:
+    def _go_next(self, target_rate: Optional[int] = None) -> bool:
         if not self.input.next_sounds and not self._factory_done:
             nxt = self._factory()
             if nxt is None:
                 self._factory_done = True
             else:
                 self.input.append(nxt)
-        return super()._go_next()
+        return super()._go_next(target_rate=target_rate)
 
 
 class EmptyCallback(Node):

@@ -350,3 +350,30 @@ def test_streaming_wav_matches_full_decode():
     b2, alive = feeder.next_device_block()
     np.testing.assert_array_equal(np.asarray(b1), full[:, :4096])
     np.testing.assert_array_equal(np.asarray(b2), got[:, 4096:8192])
+
+
+def test_queue_rate_mismatch_stitches_resampled():
+    """A mid-block transition to a source at a different sample rate must
+    resample the stitched tail to the block's rate (not play it raw at the
+    wrong pitch). The reference re-bootstraps a downstream Uniform at the
+    span boundary (src/queue.rs:166-192); the block queue converts inside."""
+    q_tx, q_rx = queue(False, block_frames=256)
+    a = np.full(300, 0.25, np.float32)
+    b = np.ones(300, np.float32)  # 300 frames @ 24k -> ~600 frames @ 48k
+    q_tx.append(SamplesBuffer(1, 48000, a))
+    q_tx.append(SamplesBuffer(1, 24000, b))
+    blocks = []
+    for _ in range(5):
+        blk, alive = q_rx.next_block(256)
+        blocks.append(blk[0])
+        if not alive:
+            break
+    out = np.concatenate(blocks)
+    # source a: 300 frames of 0.25
+    np.testing.assert_allclose(out[:300], 0.25)
+    # source b resampled 24k->48k: ~600 frames of ~1.0 starting at 300
+    assert np.all(np.abs(out[310:880] - 1.0) < 1e-5), out[300:320]
+    # and it ends near frame 900 (300 + ~600), not 600 (which would mean
+    # the tail played unresampled at the wrong rate)
+    assert np.abs(out[920:]).max() == 0.0
+    assert np.abs(out[300:880]).min() > 0.9

@@ -134,3 +134,27 @@ def test_dither_algorithms_run(rng, algo):
     out = render(Dither(src, 8, algo), block_frames=128)
     assert out.shape == (2, 256)
     assert not np.array_equal(out, data.reshape(256, 2).T)
+
+
+def test_highpass_dither_continuous_at_block_boundaries():
+    """The differentiated (blue) dither noise carries the previous white
+    sample across blocks: adjacent samples share a white draw, so boundary
+    pairs must show the same ~-0.5 correlation as interior pairs (without
+    the carry, boundary pairs are independent -> correlation ~0)."""
+    from rodio_tpu.effects.dither import Dither
+    from rodio_tpu.sources.generators import Zero
+
+    bf = 128
+    n = bf * 512
+    src = Zero(1, 48000, num_frames=n)
+    out = _render(Dither(src, 2, "highpass"), n=n)
+    lsb = 1.0 / (1 << 1)
+    noise = -out / lsb  # x=0 so out = -noise*lsb
+    var = noise.var()
+    # boundary pairs: last sample of block k, first of block k+1
+    left = noise[bf - 1 :: bf][:-1]
+    right = noise[bf::bf]
+    boundary_corr = np.mean(left * right) / var
+    interior_corr = np.mean(noise[:-1] * noise[1:]) / var
+    assert interior_corr < -0.35
+    assert boundary_corr < -0.25, boundary_corr

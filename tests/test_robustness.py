@@ -85,3 +85,68 @@ def test_garbage_wav_rejected(tmp_path):
     p.write_bytes(b"RIFF\x10\x00\x00\x00WAVEjunkjunk")
     with pytest.raises((DecoderError, ValueError, Exception)):
         Decoder(str(p))
+
+
+def test_flac_frame_header_fuzz():
+    """Adversarial FLAC frames (bit-flipped frame/subframe headers) must
+    never write out of bounds: malformed partition orders / LPC orders are
+    rejected by the decoder's RFC 9639 validation (native/flac.cpp)."""
+    base = bytearray(open("/root/reference/assets/music.flac", "rb").read())
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        data = bytearray(base)
+        # corrupt bytes shortly after frame sync markers to hit the
+        # frame/subframe/residual header fields
+        pos = 0
+        hits = 0
+        while pos + 1 < len(data) and hits < 40:
+            if data[pos] == 0xFF and (data[pos + 1] & 0xFC) == 0xF8:
+                off = int(rng.integers(2, 24))
+                if pos + off < len(data):
+                    data[pos + off] = int(rng.integers(0, 256))
+                hits += 1
+                pos += 64
+            pos += 1
+        try:
+            d = Decoder(bytes(data))
+            out = render(d, max_frames=48000)
+            assert np.all(np.isfinite(out))
+        except (DecoderError, ValueError):
+            pass
+
+
+def test_flac_malicious_partition_order():
+    """A hand-built FLAC frame with partition_order making part_len < order
+    used to underflow the residual count to ~2^32 (heap overflow)."""
+    import struct
+
+    def bits_to_bytes(bits):
+        pad = (-len(bits)) % 8
+        bits = bits + "0" * pad
+        return bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+    # minimal STREAMINFO: 48k, 1ch, 16bps, unknown total
+    si = (
+        format(4096, "016b") * 2 + "0" * 24 + "0" * 24
+        + format(48000, "020b") + format(0, "03b") + format(15, "05b")
+        + format(0, "036b") + "0" * 128
+    )
+    header = b"fLaC" + bytes([0x80, 0, 0, 34]) + bits_to_bytes(si)
+    # frame: blocksize code 2 (=576), LPC order 32 subframe,
+    # partition_order 6 -> part_len = 9 < order = 32
+    fr = "11111111111110" + "0" + "0" + "0010" + "1010" + "0000" + "100" + "0"
+    fr += "00000000"  # utf8 frame number 0
+    fr += "00000000"  # crc8 (unchecked)
+    fr += "0" + format(63, "06b") + "0"  # subframe: LPC order 32
+    fr += "0" * 16 * 32  # warmup samples
+    fr += "0011" + "00000"  # precision 4, shift 0
+    fr += "0000" * 32  # coefficients
+    fr += "00" + "0110"  # residual method 0, partition_order 6
+    fr += ("0000" + "1" * 80) * 64  # rice params + unary junk
+    data = header + bits_to_bytes(fr)
+    try:
+        d = Decoder(data)
+        out = render(d, max_frames=4096)
+        assert np.all(np.isfinite(out))
+    except (DecoderError, ValueError):
+        pass
