@@ -41,9 +41,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core.math import LOG2_10, LOG10_2, exp2_precise, log2_precise
+
 _BIG = 3.0e38
 _TINY = float(np.finfo(np.float32).tiny)  # refimpl TINY (Sample::MIN_POSITIVE)
-_LN10_OVER_20 = float(np.float32(np.log(10.0) / 20.0))
 
 
 def _limiter_kernel(x_ref, state_ref, relpow_ref, attpow_ref,
@@ -64,8 +65,10 @@ def _limiter_kernel(x_ref, state_ref, relpow_ref, attpow_ref,
     sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
 
     def gain_db(x):
-        """Soft-knee gain computer (effects/limit.py:limiter_gain_db)."""
-        bias_db = 20.0 * (jnp.log(jnp.abs(x) + _TINY) / np.log(10.0)) \
+        """Soft-knee gain computer (effects/limit.py:limiter_gain_db), in
+        the reference's log2 form (src/math.rs:87-90) with the precise
+        f32 log2 (core/math module note)."""
+        bias_db = log2_precise(jnp.abs(x) + _TINY) * (LOG10_2 * 20.0) \
             - threshold
         kb = bias_db * 2.0
         xk = kb + knee_width
@@ -150,7 +153,7 @@ def _limiter_kernel(x_ref, state_ref, relpow_ref, attpow_ref,
         mp = jnp.maximum(
             peak[0:1, :], jnp.where(sub == 0, prev[1:2, :], peak)
         )
-        y_ref[t] = x_ref[t] * jnp.exp(mp * (-_LN10_OVER_20))
+        y_ref[t] = x_ref[t] * exp2_precise(mp * (-0.05 * LOG2_10))
         is_last = t == r_last
         integ = jnp.maximum(
             b_scr[t], relpow_ref[t] * v_integ + c_scr[t]

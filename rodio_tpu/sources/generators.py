@@ -32,10 +32,18 @@ class SignalGenerator(Node):
     Mono, infinite, codomain [-1, 1] (src/source/signal_generator.rs:73-170).
     """
 
-    def __init__(self, sample_rate: int, frequency: float, function):
+    def __init__(self, sample_rate: int, frequency: float, function,
+                 *, rodio_compat: bool = False):
         """``function`` is a name or a callable phase->sample over jnp
         arrays (the GeneratorFunction extension point,
-        src/source/signal_generator.rs:36)."""
+        src/source/signal_generator.rs:36).
+
+        ``rodio_compat=True`` reproduces the reference's per-sample f32
+        phase accumulator ``phase = (phase + step).rem_euclid(1.0)``
+        (src/source/signal_generator.rs:133) as a lax.scan, including its
+        ~1e-4/minute drift — for parity testing against rodio renders.
+        The default closed form is drift-free (more accurate) and fully
+        parallel."""
         if frequency <= 0.0:
             raise ValueError("frequency must be greater than zero")
         if not callable(function) and function not in (
@@ -45,11 +53,16 @@ class SignalGenerator(Node):
         self.spec = StreamSpec(1, sample_rate)
         self.frequency = float(frequency)
         self.function = function
+        self.rodio_compat = bool(rodio_compat)
         # reference computes period = rate/freq and step = 1/period in f32
         # (src/source/signal_generator.rs:113-114); we keep f64 for the
         # closed form and round per block.
         self._step64 = float(
             1.0 / (np.float64(sample_rate) / np.float64(frequency))
+        )
+        self._step32 = float(
+            np.float32(1.0)
+            / (np.float32(sample_rate) / np.float32(frequency))
         )
 
     def total_frames(self) -> Optional[int]:
@@ -80,6 +93,25 @@ class SignalGenerator(Node):
 
     def emit(self, state: State, n: int):
         dt = float_dtype()
+        if self.rodio_compat:
+            import jax
+
+            step = dt(self._step32)
+
+            def body(p, _):
+                pn = p + step
+                pn = pn - jnp.floor(pn)  # rem_euclid(1.0), p >= 0
+                return pn, p
+
+            new_phase, phases = jax.lax.scan(
+                body, state["phase"], None, length=n
+            )
+            block = SignalGenerator.waveform(self.function, phases)
+            return (
+                {"phase": new_phase},
+                block[None, :].astype(dt),
+                jnp.int32(n),
+            )
         # per-block increment table, exact in f64 at trace time
         incr = jnp.asarray(
             _frac64(np.arange(n, dtype=np.float64) * self._step64), dtype=dt
@@ -96,23 +128,27 @@ class SignalGenerator(Node):
 class SineWave(SignalGenerator):
     """(src/source/sine.rs:16) — 48 kHz sine."""
 
-    def __init__(self, frequency: float):
-        super().__init__(DEFAULT_SAMPLE_RATE, frequency, "sine")
+    def __init__(self, frequency: float, *, rodio_compat: bool = False):
+        super().__init__(DEFAULT_SAMPLE_RATE, frequency, "sine",
+                         rodio_compat=rodio_compat)
 
 
 class SquareWave(SignalGenerator):
-    def __init__(self, frequency: float):
-        super().__init__(DEFAULT_SAMPLE_RATE, frequency, "square")
+    def __init__(self, frequency: float, *, rodio_compat: bool = False):
+        super().__init__(DEFAULT_SAMPLE_RATE, frequency, "square",
+                         rodio_compat=rodio_compat)
 
 
 class TriangleWave(SignalGenerator):
-    def __init__(self, frequency: float):
-        super().__init__(DEFAULT_SAMPLE_RATE, frequency, "triangle")
+    def __init__(self, frequency: float, *, rodio_compat: bool = False):
+        super().__init__(DEFAULT_SAMPLE_RATE, frequency, "triangle",
+                         rodio_compat=rodio_compat)
 
 
 class SawtoothWave(SignalGenerator):
-    def __init__(self, frequency: float):
-        super().__init__(DEFAULT_SAMPLE_RATE, frequency, "sawtooth")
+    def __init__(self, frequency: float, *, rodio_compat: bool = False):
+        super().__init__(DEFAULT_SAMPLE_RATE, frequency, "sawtooth",
+                         rodio_compat=rodio_compat)
 
 
 class Chirp(Node):

@@ -93,8 +93,12 @@ def test_config2_flac_effects_chain():
     node = Limit(node, LimitSettings())
     got = interleave(render(node, block_frames=4096))
     assert len(got) == len(expected)
-    # biquad FMA rounding (~1e-5) feeds the AGC's nonlinear gain loop;
-    # composed deviation stays bounded (< 1e-4 over the chain)
+    # On TPU hardware this chain is BIT-EXACT vs the oracle (measured 0.0,
+    # tools/parity_tpu.py / PARITY_TPU.md). This suite runs on XLA:CPU,
+    # whose LLVM backend contracts mul+add into FMA depending on the
+    # compilation context; through the AGC gain smoother's near-unity
+    # attack coefficient the 1-ulp-per-step differences integrate to up
+    # to ~7e-5 — a test-host artifact, hence the loose CPU bound.
     np.testing.assert_allclose(got, expected, atol=1e-4)
 
 
