@@ -74,8 +74,6 @@ def _run_scan(node, state, T, n_blocks, repeat, reps=4):
 def main():
     n_streams = int(os.environ.get("BENCH_STREAMS", "512"))
     scan_mode = os.environ.get("BENCH_SCAN_MODE", "fused")
-    if os.environ.get("BENCH_AGC", "0") == "1" and scan_mode == "fused":
-        scan_mode = "pallas"  # the fused kernel has no AGC stage
     T = int(os.environ.get("BENCH_BLOCK", "4096"))
     if scan_mode == "fused":
         T = max(320, -(-T // 320) * 320)  # fused blocks align to m*to

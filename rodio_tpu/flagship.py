@@ -56,7 +56,8 @@ class FusedWidePipeline(Node):
     def __init__(self, input_node: Node, to_rate: int, gains,
                  n_streams: int, kind: str = "low_pass",
                  freq: float = 2000.0, q: float = 0.5, *, m: int = 2,
-                 precision: str = "auto", lookahead: int = 4):
+                 precision: str = "auto", lookahead: int = 4,
+                 with_agc: bool = False, agc_settings=None):
         assert getattr(input_node, "RANDOM_ACCESS", False) and hasattr(
             input_node, "slice_frames"
         ), "FusedWidePipeline needs a sliceable random-access source"
@@ -93,10 +94,48 @@ class FusedWidePipeline(Node):
         from .ops.fused import LANES
 
         assert wide <= LANES, "fused pipeline supports <= 1024 wide channels"
-        # M[c, l] = gain_l if l % C == c else 0  (rows C..8, lanes >= wide: 0)
-        M = np.zeros((8, LANES), dtype=np.float32)
-        for c in range(C):
-            M[c, c : wide : C] = per_lane[c::C]
+        self.with_agc = bool(with_agc)
+        if with_agc:
+            # the in-kernel AGC needs the CHANNEL-MAJOR wide layout
+            # (lane = c*(LANES//2) + s): ch0 of every stream on sublanes
+            # 0..3 of each time row, ch1 on 4..7 (ops/fused.py)
+            assert C == 2, "fused AGC supports stereo streams"
+            from .effects.agc import AgcSettings, RMS_WINDOW_SIZE
+            from .core.math import duration_to_coefficient
+            from .core.types import duration_to_nanos
+
+            st = agc_settings or AgcSettings()
+            attack_ns = min(duration_to_nanos(st.attack_time),
+                            10_000_000_000)
+            release_ns = min(duration_to_nanos(st.release_time),
+                             10_000_000_000)
+            self._agc_params = (
+                float(duration_to_coefficient(0, to_rate, nanos=attack_ns)),
+                float(duration_to_coefficient(0, to_rate, nanos=release_ns)),
+                float(np.float32(st.target_level)),
+                float(np.float32(st.absolute_max_gain)),
+                0.0,
+                float(np.float32(1.0) / np.float32(RMS_WINDOW_SIZE)),
+            )
+            self._lag = RMS_WINDOW_SIZE // C
+            half = LANES // 2
+            # lane permutation: new lane l = c*half + s <- old row s*C + c;
+            # unused stream slots point at a zero row of the padded data
+            perm = np.full(LANES, min(wide, LANES - 1), dtype=np.int64)
+            for s in range(n_streams):
+                for c in range(C):
+                    perm[c * half + s] = s * C + c
+            self._perm = perm
+            M = np.zeros((8, LANES), dtype=np.float32)
+            for s in range(n_streams):
+                for c in range(C):
+                    M[c, c * half + s] = per_lane[s * C + c]
+        else:
+            self._perm = None
+            # M[c, l] = gain_l if l % C == c else 0 (rows C..8, >= wide: 0)
+            M = np.zeros((8, LANES), dtype=np.float32)
+            for c in range(C):
+                M[c, c : wide : C] = per_lane[c::C]
         self._mixmat = jnp.asarray(M)
         self._wide = wide
         self._lanes = LANES
@@ -120,6 +159,8 @@ class FusedWidePipeline(Node):
         data_t = jnp.pad(
             data, ((0, self._lanes - data.shape[0]), (0, 0))
         ).T[self._s0 :]                                 # [F - s0, LANES]
+        if self._perm is not None:
+            data_t = data_t[:, self._perm]              # channel-major lanes
         nc = data_t.shape[0] // fr
         fr_p = -(-fr // 16) * 16
         chunks = jnp.pad(
@@ -138,7 +179,7 @@ class FusedWidePipeline(Node):
         # the PCM lives only in the chunked layout: drop the upstream
         # buffer's copy (emit touches just its pos/end scalars)
         in_state = {k: v for k, v in in_state.items() if k != "data"}
-        return {
+        state = {
             "in": in_state,
             "chunks": chunks,
             "xn_all_t": xn_all_t,
@@ -146,6 +187,14 @@ class FusedWidePipeline(Node):
             "drained": jnp.asarray(False),
             "bq": (z, z, z, z),
         }
+        if self.with_agc:
+            mto = self.m * self.to
+            rs_slots = -(-self._lag // mto) + 2
+            state["agc"] = (
+                jnp.zeros((12, 128), dtype=dt).at[8:12].set(1.0)
+            )
+            state["ring"] = jnp.zeros((rs_slots, mto, 8, 128), dtype=dt)
+        return state
 
     def emit(self, state: State, n: int):
         import jax
@@ -177,12 +226,27 @@ class FusedWidePipeline(Node):
         )
 
         interpret = jax.default_backend() != "tpu"
-        mix8, bq = fused_resample_biquad_mix(
-            chunks, c0c, xn_t, self._rs._G0, self._rs._g1, self._mixmat,
-            self.coeffs, state["bq"], fr=fr, to=to, m=m,
-            precision=self.precision, lookahead=self.lookahead,
-            interpret=interpret,
-        )
+        extra = {}
+        if self.with_agc:
+            from .ops.fused import fused_resample_biquad_agc_mix
+
+            k0 = o0 // jnp.int32(m * to)
+            mix8, bq, agc_new, ring_new = fused_resample_biquad_agc_mix(
+                chunks, c0c, k0, xn_t, self._rs._G0, self._rs._g1,
+                self._mixmat, self.coeffs, state["bq"], state["agc"],
+                state["ring"], fr=fr, to=to, m=m,
+                precision=self.precision, lookahead=self.lookahead,
+                agc_params=self._agc_params, lag=self._lag,
+                interpret=interpret,
+            )
+            extra = {"agc": agc_new, "ring": ring_new}
+        else:
+            mix8, bq = fused_resample_biquad_mix(
+                chunks, c0c, xn_t, self._rs._G0, self._rs._g1, self._mixmat,
+                self.coeffs, state["bq"], fr=fr, to=to, m=m,
+                precision=self.precision, lookahead=self.lookahead,
+                interpret=interpret,
+            )
         out = mix8[: self.spec.channels, :]
 
         # validity + drain bookkeeping (conversions/resample.py:322-339)
@@ -199,7 +263,8 @@ class FusedWidePipeline(Node):
         out = jnp.where(i_idx[None, :] < valid, out, 0.0)
         drained_new = state["drained"] | drain_ok | (valid < n)
         return (
-            {**state, "out_o": o0 + n, "drained": drained_new, "bq": bq},
+            {**state, "out_o": o0 + n, "drained": drained_new, "bq": bq,
+             **extra},
             out.astype(dt),
             clip_valid(valid, n),
         )
@@ -243,10 +308,9 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
 
     chain = SamplesBuffer(n_streams * channels, in_rate, wide)
     if scan_mode == "fused":
-        if with_agc:
-            raise ValueError("fused pipeline has no AGC stage")
         fused = FusedWidePipeline(
-            chain, out_rate, gains, n_streams, "low_pass", 2000.0, 0.5
+            chain, out_rate, gains, n_streams, "low_pass", 2000.0, 0.5,
+            with_agc=with_agc,
         )
         master = Limit(fused, LimitSettings(), mode="auto")
         return master, master.init_state()

@@ -60,6 +60,50 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                   carry, xraw, x_scr, y_scr, sems,
                   *, m: int, to: int, precision, int3: bool,
                   lookahead: int = 1):
+    _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
+                mixt_ref, state_ref, out_ref, out_state_ref,
+                carry, xraw, x_scr, y_scr, sems,
+                m=m, to=to, precision=precision, int3=int3,
+                lookahead=lookahead)
+
+
+def _fused_agc_kernel(c0_ref, k0_ref, c_ref, chunks_ref, xn_ref, g0t_ref,
+                      g1_ref, mixt_ref, state_ref, agc_ref, ring_in_ref,
+                      out_ref, out_state_ref, out_agc_ref, ring_ref,
+                      carry, xraw, x_scr, y_scr, sems,
+                      agc_carry, old_scr, sq_scr, rsems, wsems,
+                      *, m: int, to: int, precision, int3: bool,
+                      lookahead: int, agc: tuple, rs_slots: int, lag: int):
+    """AGC-bearing variant: adds the per-stream AGC stage between the
+    biquad and the mix (src/source/agc.rs:397-496, decomposed form), with
+    the 8192-interleaved-sample RMS window kept as an HBM ring of squared
+    outputs (``ring``: [rs_slots, m*to, 8, 128], aliased in/out).
+
+    Wide layout must be CHANNEL-MAJOR: lane = c * (LANES//2) + s, so ch0
+    of all streams lives in sublanes 0..3 of each time row and ch1 in
+    4..7; the interleaved AGC recurrences then run on [4, 128] vregs.
+    """
+    _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
+                mixt_ref, state_ref, out_ref, out_state_ref,
+                carry, xraw, x_scr, y_scr, sems,
+                m=m, to=to, precision=precision, int3=int3,
+                lookahead=lookahead,
+                agc=agc, k0_ref=k0_ref, agc_ref=agc_ref, ring_ref=ring_ref,
+                out_agc_ref=out_agc_ref, agc_carry=agc_carry,
+                old_scr=old_scr, sq_scr=sq_scr, rsems=rsems, wsems=wsems,
+                rs_slots=rs_slots, lag=lag)
+
+
+def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
+                mixt_ref, state_ref,
+                out_ref, out_state_ref,
+                carry, xraw, x_scr, y_scr, sems,
+                *, m: int, to: int, precision, int3: bool,
+                lookahead: int = 1,
+                agc=None, k0_ref=None, agc_ref=None, ring_ref=None,
+                out_agc_ref=None, agc_carry=None, old_scr=None,
+                sq_scr=None, rsems=None, wsems=None,
+                rs_slots: int = 0, lag: int = 0):
     """One sequential time-grid step: m chunk DMAs -> resample -> biquad
     -> mix. All compute is time-major.
 
@@ -86,6 +130,48 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
     @pl.when(t_idx == 0)
     def _load_state():
         carry[...] = state_ref[...].T.reshape(4, 8, 128)
+
+    mto = m * to
+    if agc is not None:
+        k = k0_ref[0] + t_idx
+
+        @pl.when(t_idx == 0)
+        def _load_agc_state():
+            agc_carry[...] = agc_ref[...]
+
+        # old-window reads: the sq values leaving the 8192-interleaved
+        # RMS ring this step = this kernel's own squared outputs from
+        # `lag` frames ago, stored in the HBM ring `rs_slots` steps deep.
+        # lag is not a multiple of m*to, so the old block straddles two
+        # ring slots at a STATIC intra-slot offset (two fixed-shape DMAs).
+        q_off = lag // mto
+        row_a = (q_off + 1) * mto - lag     # first row within slot A
+        len_a = mto - row_a
+        slot_a = jax.lax.rem(k - (q_off + 1) + 2 * rs_slots, rs_slots)
+        cp_a = pltpu.make_async_copy(
+            ring_ref.at[slot_a, pl.ds(row_a, len_a)],
+            old_scr.at[pl.ds(0, len_a)], rsems.at[0],
+        )
+        cp_a.start()
+        if row_a:
+            slot_b = jax.lax.rem(k - q_off + 2 * rs_slots, rs_slots)
+            cp_b = pltpu.make_async_copy(
+                ring_ref.at[slot_b, pl.ds(0, row_a)],
+                old_scr.at[pl.ds(len_a, row_a)], rsems.at[1],
+            )
+            cp_b.start()
+
+        # the write DMA issued 2 steps ago reused sq_scr[t%2]: wait it
+        # before this step's AGC loop refills that buffer
+        wslot = jax.lax.rem(t_idx, 2)
+
+        @pl.when(t_idx >= 2)
+        def _wait_prev_write():
+            pltpu.make_async_copy(
+                sq_scr.at[wslot],
+                ring_ref.at[jax.lax.rem(k - 2, rs_slots)],
+                wsems.at[wslot],
+            ).wait()
 
     # 1: double-buffered chunk DMAs — step t's chunks were prefetched at
     # step t-1 into slot t%2; this step prefetches t+1 into the other slot
@@ -182,6 +268,92 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
     carry[2] = y1
     carry[3] = y2
 
+    # 3b: AGC over the biquad outputs (channel-major: ch0 = sublanes 0..3,
+    # ch1 = 4..7). Per interleaved sub-step (frame t: ch0 then ch1, the
+    # column-major order of src/source/agc.rs's interleaved loop):
+    #   rms_sum += sq - old          (8192-sample running sum, agc.rs:409)
+    #   peak = max(xs, rel*peak + (1-rel)*xs)           (agc.rs:397-407)
+    #   desired = max(min(target*rsqrt(ms), min(target/peak, mg)), floor)
+    #   gain = clip(gain*speed + desired*(1-speed))     (agc.rs:486-496)
+    # The rs/peak chains run serially (3 ops/sub-step); the rsqrt/div of
+    # `desired` is hoisted out of the serial chain (computed for a whole
+    # AW-frame group at once); the gain smoother stays serial.
+    if agc is not None:
+        att, rel, target, mg, floor_, invw = agc
+        cp_a.wait()
+        if row_a:
+            cp_b.wait()
+        AW = 4
+        assert mto % AW == 0
+
+        def agc_loop(i, carrs):
+            rs, pk, g = carrs
+            t0 = i * AW
+            vals = []
+            for j in range(AW):
+                y = y_scr[t0 + j]
+                old = old_scr[t0 + j]
+                sq_scr[wslot, t0 + j] = y * y
+                for c in (0, 1):
+                    xs = jnp.abs(y[4 * c : 4 * c + 4])
+                    sq = xs * xs
+                    rs = rs + (sq - old[4 * c : 4 * c + 4])
+                    pk = jnp.maximum(xs, rel * pk + (1.0 - rel) * xs)
+                    vals.append((rs, pk))
+            des = []
+            for rs_i, pk_i in vals:
+                rg = jnp.where(
+                    rs_i > 0.0, target * jax.lax.rsqrt(rs_i * invw), mg
+                )
+                pg = jnp.where(
+                    pk_i > 0.0, jnp.minimum(target / pk_i, mg), mg
+                )
+                des.append(jnp.maximum(jnp.minimum(rg, pg), floor_))
+            for j in range(AW):
+                y = y_scr[t0 + j]
+                for c in (0, 1):
+                    d = des[2 * j + c]
+                    speed = jnp.where(d > g, att, rel)
+                    g = g * speed + d * (1.0 - speed)
+                    g = jnp.clip(g, 0.1, mg)
+                    y_scr[t0 + j, 4 * c : 4 * c + 4] = (
+                        y[4 * c : 4 * c + 4] * g
+                    )
+            return (rs, pk, g)
+
+        rs, pk, g = jax.lax.fori_loop(
+            0, mto // AW, agc_loop,
+            (agc_carry[0:4], agc_carry[4:8], agc_carry[8:12]),
+        )
+        agc_carry[0:4] = rs
+        agc_carry[4:8] = pk
+        agc_carry[8:12] = g
+
+        # publish this step's squares into the ring
+        wcp = pltpu.make_async_copy(
+            sq_scr.at[wslot], ring_ref.at[jax.lax.rem(k, rs_slots)],
+            wsems.at[wslot],
+        )
+        wcp.start()
+
+        @pl.when(t_idx == n_t - 1)
+        def _drain_writes():
+            # the kernel must not exit with DMAs in flight: wait this
+            # step's write and (when it exists) the previous step's
+            wcp.wait()
+
+            @pl.when(t_idx >= 1)
+            def _():
+                pltpu.make_async_copy(
+                    sq_scr.at[jax.lax.rem(t_idx + 1, 2)],
+                    ring_ref.at[jax.lax.rem(k - 1 + rs_slots, rs_slots)],
+                    wsems.at[jax.lax.rem(t_idx + 1, 2)],
+                ).wait()
+
+        @pl.when(t_idx == n_t - 1)
+        def _store_agc():
+            out_agc_ref[...] = agc_carry[...]
+
     # 4: gain + stream-axis mix as one matmul
     y_t = y_scr[...].reshape(m * to, LANES)
     mix = jnp.dot(y_t, mixt_ref[...], preferred_element_type=y_t.dtype,
@@ -193,27 +365,10 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
         out_state_ref[...] = carry[...].reshape(4, LANES).T
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("fr", "to", "m", "interpret", "precision", "lookahead"),
-)
-def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
-                              bq_state, *, fr: int, to: int, m: int = 2,
-                              precision: str = "highest",
-                              lookahead: int = 2,
-                              interpret: bool = False):
-    """Fused pipeline over one block, reading straight from the chunked
-    buffer.
-
-    chunks: [Nc, fr_p, LANES] pre-chunked time-major PCM (HBM resident,
-    rows fr..fr_p-1 zero, zero-padded past the stream end). c0: scalar int32 first chunk index.
-    xn_t: [K, LANES] — xn_t[k] is the first frame of chunk c0 + k + 1.
-    g0: [fr, to]; g1: [to]; mixmat: [8, LANES] gain+mix rows (rows >= C
-    and lanes >= wide zero). coeffs: (b0, b1, b2, a1, a2).
-    bq_state: (x1, x2, y1, y2) each [LANES]. K % m == 0.
-
-    Returns (mix [8, K*to], new bq_state tuple each [LANES]).
-    """
+def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
+             *, fr: int, to: int, m: int, precision: str, lookahead: int):
+    """Shared host-side prep: int3 weight/piece layout, look-ahead biquad
+    coefficient rows, packed SMEM vectors, state packing."""
     int3 = chunks.ndim == 4
     if int3:
         Nc, npc, fr_p, _ = chunks.shape
@@ -283,22 +438,67 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT,
             "int3": jax.lax.Precision.DEFAULT}[precision]
-    n_t = K // m
+    return dict(int3=int3, fr_p=fr_p, K=K, dt=dt, st=st, g1p=g1p, c=c,
+                c0=c0, g0t=g0t, mixt=mixt, prec=prec, chunks=chunks,
+                n_t=K // m)
+
+
+def _common_in_specs(P, mem, K):
+    return [
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # c0
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # coeffs
+        pl.BlockSpec(memory_space=pltpu.ANY),       # chunks (HBM)
+        pl.BlockSpec((K, LANES), lambda t: (0, 0), memory_space=mem),
+        pl.BlockSpec(P["g0t"].shape, lambda t: (0, 0), memory_space=mem),
+        pl.BlockSpec((P["g1p"].shape[0], 8), lambda t: (0, 0),
+                     memory_space=mem),
+        pl.BlockSpec((LANES, 8), lambda t: (0, 0), memory_space=mem),
+        pl.BlockSpec((LANES, 4), lambda t: (0, 0), memory_space=mem),
+    ]
+
+
+def _common_scratch(P, m, to):
+    return [
+        pltpu.VMEM((4, 8, 128), P["dt"]),
+        pltpu.VMEM((2, m, 3 * P["fr_p"], LANES), jnp.bfloat16)
+        if P["int3"] else pltpu.VMEM((2, m, P["fr_p"], LANES), P["dt"]),
+        pltpu.VMEM((m * to, 8, 128), P["dt"]),
+        pltpu.VMEM((m * to, 8, 128), P["dt"]),
+        pltpu.SemaphoreType.DMA((2, m)),
+    ]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fr", "to", "m", "interpret", "precision", "lookahead"),
+)
+def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
+                              bq_state, *, fr: int, to: int, m: int = 2,
+                              precision: str = "highest",
+                              lookahead: int = 2,
+                              interpret: bool = False):
+    """Fused pipeline over one block, reading straight from the chunked
+    buffer.
+
+    chunks: [Nc, fr_p, LANES] pre-chunked time-major PCM (HBM resident,
+    rows fr..fr_p-1 zero, zero-padded past the stream end). c0: scalar int32 first chunk index.
+    xn_t: [K, LANES] — xn_t[k] is the first frame of chunk c0 + k + 1.
+    g0: [fr, to]; g1: [to]; mixmat: [8, LANES] gain+mix rows (rows >= C
+    and lanes >= wide zero). coeffs: (b0, b1, b2, a1, a2).
+    bq_state: (x1, x2, y1, y2) each [LANES]. K % m == 0.
+
+    Returns (mix [8, K*to], new bq_state tuple each [LANES]).
+    """
+    P = _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
+                 fr=fr, to=to, m=m, precision=precision, lookahead=lookahead)
+    n_t = P["n_t"]
+    dt = P["dt"]
     mem = pltpu.ANY if interpret else pltpu.VMEM
     out3, out_state = pl.pallas_call(
-        functools.partial(_fused_kernel, m=m, to=to, precision=prec,
-                          int3=int3, lookahead=lookahead),
+        functools.partial(_fused_kernel, m=m, to=to, precision=P["prec"],
+                          int3=P["int3"], lookahead=lookahead),
         grid=(n_t,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # c0
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # coeffs
-            pl.BlockSpec(memory_space=pltpu.ANY),       # chunks (HBM)
-            pl.BlockSpec((K, LANES), lambda t: (0, 0), memory_space=mem),
-            pl.BlockSpec(g0t.shape, lambda t: (0, 0), memory_space=mem),
-            pl.BlockSpec((to, 8), lambda t: (0, 0), memory_space=mem),
-            pl.BlockSpec((LANES, 8), lambda t: (0, 0), memory_space=mem),
-            pl.BlockSpec((LANES, 4), lambda t: (0, 0), memory_space=mem),
-        ],
+        in_specs=_common_in_specs(P, mem, P["K"]),
         out_specs=(
             pl.BlockSpec((1, m * to, 8), lambda t: (t, 0, 0),
                          memory_space=mem),
@@ -308,17 +508,98 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
             jax.ShapeDtypeStruct((n_t, m * to, 8), dt),
             jax.ShapeDtypeStruct((LANES, 4), dt),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((4, 8, 128), dt),
-            pltpu.VMEM((2, m, 3 * fr_p, LANES), jnp.bfloat16) if int3
-            else pltpu.VMEM((2, m, fr_p, LANES), dt),
-            pltpu.VMEM((m * to, 8, 128), dt),
-            pltpu.VMEM((m * to, 8, 128), dt),
-            pltpu.SemaphoreType.DMA((2, m)),
-        ],
+        scratch_shapes=_common_scratch(P, m, to),
         interpret=interpret,
-    )(c0, c, chunks, xn_t, g0t, g1p, mixt, st)
+    )(P["c0"], P["c"], P["chunks"], xn_t, P["g0t"], P["g1p"], P["mixt"],
+      P["st"])
 
-    mix = out3.reshape(K * to, 8).T
+    mix = out3.reshape(P["K"] * to, 8).T
     new_state = tuple(out_state[:, i] for i in range(4))
     return mix, new_state
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fr", "to", "m", "interpret", "precision", "lookahead",
+                     "agc_params", "lag"),
+    donate_argnames=("ring",),
+)
+def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
+                                  coeffs, bq_state, agc_state, ring,
+                                  *, fr: int, to: int, m: int = 2,
+                                  precision: str = "highest",
+                                  lookahead: int = 2,
+                                  agc_params: tuple,
+                                  lag: int,
+                                  interpret: bool = False):
+    """AGC-bearing fused pipeline (see _fused_agc_kernel).
+
+    Extra inputs over fused_resample_biquad_mix:
+    k0: scalar int32 — GLOBAL grid-step index of this block's first step
+        (= output_frame_offset // (m*to)); indexes the sq-history ring.
+    agc_state: [12, 128] packed per-stream carries (rows 0-3 rms_sum,
+        4-7 peak, 8-11 gain; stream s at (s//128, s%128)).
+    ring: [rs_slots, m*to, 8, 128] HBM ring of squared outputs (donated,
+        aliased to the ring output). rs_slots must be
+        ceil(lag / (m*to)) + 2 so reads never collide with writes.
+    agc_params: (att, rel, target, max_gain, floor, inv_window) floats.
+    lag: RMS window length in FRAMES (8192 interleaved / C=2 = 4096).
+
+    Returns (mix [8, K*to], bq_state', agc_state' [12,128], ring').
+    """
+    P = _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
+                 fr=fr, to=to, m=m, precision=precision, lookahead=lookahead)
+    n_t = P["n_t"]
+    dt = P["dt"]
+    mto = m * to
+    rs_slots = ring.shape[0]
+    assert ring.shape == (rs_slots, mto, 8, 128)
+    assert rs_slots >= -(-lag // mto) + 2
+    assert agc_state.shape == (12, 128)
+    k0 = jnp.asarray(k0, jnp.int32).reshape(1)
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+
+    in_specs = _common_in_specs(P, mem, P["K"])
+    # insert k0 after c0; append agc_state + ring
+    in_specs.insert(1, pl.BlockSpec(memory_space=pltpu.SMEM))
+    in_specs.append(pl.BlockSpec((12, 128), lambda t: (0, 0),
+                                 memory_space=mem))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))   # ring (HBM)
+
+    out3, out_state, out_agc, ring_out = pl.pallas_call(
+        functools.partial(
+            _fused_agc_kernel, m=m, to=to, precision=P["prec"],
+            int3=P["int3"], lookahead=lookahead, agc=agc_params,
+            rs_slots=rs_slots, lag=lag,
+        ),
+        grid=(n_t,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, mto, 8), lambda t: (t, 0, 0),
+                         memory_space=mem),
+            pl.BlockSpec((LANES, 4), lambda t: (0, 0), memory_space=mem),
+            pl.BlockSpec((12, 128), lambda t: (0, 0), memory_space=mem),
+            pl.BlockSpec(memory_space=pltpu.ANY),            # ring out
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_t, mto, 8), dt),
+            jax.ShapeDtypeStruct((LANES, 4), dt),
+            jax.ShapeDtypeStruct((12, 128), dt),
+            jax.ShapeDtypeStruct(ring.shape, ring.dtype),
+        ),
+        scratch_shapes=_common_scratch(P, m, to) + [
+            pltpu.VMEM((12, 128), dt),            # agc carry
+            pltpu.VMEM((mto, 8, 128), dt),        # old window
+            pltpu.VMEM((2, mto, 8, 128), dt),     # sq out (double-buffered)
+            pltpu.SemaphoreType.DMA((2,)),        # ring reads
+            pltpu.SemaphoreType.DMA((2,)),        # ring writes
+        ],
+        input_output_aliases={10: 3},             # ring in -> ring out
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(P["c0"], k0, P["c"], P["chunks"], xn_t, P["g0t"], P["g1p"],
+      P["mixt"], P["st"], agc_state, ring)
+
+    mix = out3.reshape(P["K"] * to, 8).T
+    new_state = tuple(out_state[:, i] for i in range(4))
+    return mix, new_state, out_agc, ring_out

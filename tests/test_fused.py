@@ -117,8 +117,27 @@ def test_fused_flagship_factory(rng):
     assert int(valid) == 640
     assert float(jnp.max(jnp.abs(out))) > 0
 
-    with pytest.raises(ValueError, match="AGC"):
-        make_flagship(8, seconds=0.5, scan_mode="fused", with_agc=True)
+
+def test_fused_agc_matches_unfused_exact_chain(rng):
+    """The in-kernel AGC stage (decomposed rsqrt form + HBM sq-ring)
+    must match the unfused exact chain (Resample -> Blt -> AGC ->
+    Amplify -> WideMixer -> Limit) through the 8192-sample RMS window
+    wraparound (src/source/agc.rs:133-171,397-496)."""
+    S = 8
+    node_f, sf = make_flagship(S, seconds=2.0, seed=3, scan_mode="fused",
+                               with_agc=True, max_block=1920)
+    node_u, su = make_flagship(S, seconds=2.0, seed=3, scan_mode="exact",
+                               with_agc=True, max_block=1920)
+    ef = jax.jit(lambda s: node_f.emit(s, 640))
+    eu = jax.jit(lambda s: node_u.emit(s, 640))
+    # 9 blocks x 640 = 5760 frames > the 4096-frame window lag, so the
+    # ring's old-value subtraction path is exercised
+    for blk in range(9):
+        sf, of, vf = ef(sf)
+        su, ou, vu = eu(su)
+        assert int(vf) == int(vu) == 640
+        np.testing.assert_allclose(np.asarray(of), np.asarray(ou),
+                                   atol=5e-7)
 
 
 def test_fused_op_matches_float64(rng):
