@@ -99,6 +99,7 @@ def main():
         n_streams, seconds=seconds, scan_mode=scan_mode, source_pcm=pcm,
         with_agc=os.environ.get("BENCH_AGC", "0") == "1",
         max_block=max(T, 8192),
+        lookahead=int(os.environ.get("BENCH_LOOKAHEAD", "4")),
     )
 
     t_a, e_a, v_a = _run_scan(node, state, T, n_blocks, r1)

@@ -275,7 +275,7 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
                   channels: int = 2, seed: int = 0,
                   scan_mode: str = "exact", with_agc: bool = False,
                   source_pcm: Optional[np.ndarray] = None,
-                  max_block: int = 8192):
+                  max_block: int = 8192, lookahead: int = 4):
     """Build (master_node, state) for the flagship pipeline.
 
     ``source_pcm``: optional [channels, frames] PCM at in_rate shared as the
@@ -310,7 +310,7 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
     if scan_mode == "fused":
         fused = FusedWidePipeline(
             chain, out_rate, gains, n_streams, "low_pass", 2000.0, 0.5,
-            with_agc=with_agc,
+            with_agc=with_agc, lookahead=lookahead,
         )
         master = Limit(fused, LimitSettings(), mode="auto")
         return master, master.init_state()

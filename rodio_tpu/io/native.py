@@ -84,11 +84,84 @@ def lib() -> ctypes.CDLL:
             ("rtpu_ring_pop", ctypes.c_size_t,
              [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
               ctypes.c_size_t]),
+            ("rtpu_ffs_open", ctypes.c_void_p,
+             [ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint),
+              ctypes.POINTER(ctypes.c_uint),
+              ctypes.POINTER(ctypes.c_double)]),
+            ("rtpu_ffs_read", ctypes.c_longlong,
+             [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+              ctypes.c_longlong]),
+            ("rtpu_ffs_seek", ctypes.c_int,
+             [ctypes.c_void_p, ctypes.c_double]),
+            ("rtpu_ffs_close", None, [ctypes.c_void_p]),
         ]:
             fn = getattr(_lib, name)
             fn.restype = restype
             fn.argtypes = argtypes
     return _lib
+
+
+class FfStream:
+    """Re-entrant streaming decoder over the native ffmpeg shim:
+    O(packet) memory for any file length (the incremental analog of the
+    reference's packet loop, src/decoder/symphonia.rs:336-417).
+
+    read(n) -> [channels, m] f32 (m < n only at end of stream; m == 0 =>
+    exhausted). seek(seconds) is demuxer-coarse (keyframe-backward).
+    """
+
+    def __init__(self, path: str):
+        L = lib()
+        ch = ctypes.c_uint()
+        rate = ctypes.c_uint()
+        dur = ctypes.c_double()
+        self._h = L.rtpu_ffs_open(
+            str(path).encode(), ctypes.byref(ch), ctypes.byref(rate),
+            ctypes.byref(dur),
+        )
+        if not self._h:
+            raise ValueError(f"cannot open {path!r} for streaming decode")
+        self.channels = int(ch.value)
+        self.sample_rate = int(rate.value)
+        self.duration = float(dur.value) if dur.value > 0 else None
+        self._L = L
+
+    def read(self, max_frames: int) -> np.ndarray:
+        buf = np.empty(max_frames * self.channels, dtype=np.float32)
+        got = self._L.rtpu_ffs_read(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            max_frames,
+        )
+        if got < 0:
+            raise ValueError(f"streaming decode error (code {got})")
+        n = int(got)
+        return np.ascontiguousarray(
+            buf[: n * self.channels].reshape(n, self.channels).T
+        )
+
+    def seek(self, seconds: float) -> None:
+        rc = self._L.rtpu_ffs_seek(self._h, float(seconds))
+        if rc < 0:
+            raise ValueError(f"streaming seek failed (code {rc})")
+
+    def close(self) -> None:
+        if self._h:
+            self._L.rtpu_ffs_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def chunks(self, chunk_frames: int):
+        """Iterator of [channels, chunk] blocks to end of stream."""
+        while True:
+            blk = self.read(chunk_frames)
+            if blk.shape[1] == 0:
+                return
+            yield blk
 
 
 def ff_decode(data: bytes) -> Tuple[np.ndarray, int]:

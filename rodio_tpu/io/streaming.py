@@ -165,6 +165,192 @@ class StreamingWav(StreamingFeed):
         )
 
 
+class PushPort:
+    """Device-resident sliding input window — the jit-side endpoint of a
+    host feed, presenting the RANDOM_ACCESS surface (``access_window`` /
+    ``slice_frames``) so the resampler's MXU matmul path engages (TPU
+    gathers/scatters on wide blocks are pathologically slow).
+
+    The buffer holds frames [base, base + level) of the global stream;
+    the host appends fixed-shape [C, push_frames] blocks (dynamic valid
+    ``count``) and retires consumed frames (``retire``, computed from the
+    consumer's closed-form demand) in the same :meth:`push` call. All
+    bookkeeping is device-side scalars — a jitted step(state, block,
+    count, retire) never syncs with the host. The analog of the
+    reference's cpal transfer buffer (src/stream.rs:221).
+
+    Overflowing pushes set the ``overflow`` flag (data would corrupt the
+    window; the host sizes pushes so it never happens — tests assert it).
+    """
+
+    RANDOM_ACCESS = True
+
+    def __init__(self, channels: int, sample_rate: int, capacity: int,
+                 push_frames: int):
+        self.spec = StreamSpec(channels, sample_rate)
+        self.capacity = int(capacity)
+        self.push_frames = int(push_frames)
+        #: downstream window-eligibility bound (resample.py checks it);
+        #: the host feed contract keeps requested windows inside the
+        #: buffer, which is what the zero-padding guarantees elsewhere
+        self.PAD_FRAMES = int(capacity)
+        assert capacity >= 2 * push_frames
+
+    def total_frames(self):
+        return None
+
+    def init_state(self):
+        import jax.numpy as jnp
+
+        from ..core.types import float_dtype
+
+        return {
+            "buf": jnp.zeros((self.spec.channels, self.capacity),
+                             dtype=float_dtype()),
+            "base": jnp.zeros((), jnp.int32),
+            "level": jnp.zeros((), jnp.int32),
+            "overflow": jnp.asarray(False),
+            "ended": jnp.asarray(False),
+        }
+
+    def push(self, state, block, count, retire=0):
+        """Drop ``retire`` frames from the front (consumed for good),
+        then append ``count`` valid frames of ``block`` [C, push_frames]."""
+        import jax
+        import jax.numpy as jnp
+
+        retire = jnp.asarray(retire, jnp.int32)
+        # shift-left by a TRACED amount via pad + dynamic_slice: a dense
+        # copy, never a gather (jnp.roll with a traced shift lowers to a
+        # TPU gather — catastrophically slow on wide buffers)
+        C = self.spec.channels
+        ext = jnp.concatenate(
+            [state["buf"],
+             jnp.zeros((C, self.push_frames), state["buf"].dtype)], axis=1
+        )
+        buf = jax.lax.dynamic_slice(
+            ext, (jnp.int32(0), retire), (C, self.capacity)
+        )
+        base = state["base"] + retire
+        level = state["level"] - retire
+        buf = jax.lax.dynamic_update_slice(
+            buf, block, (jnp.int32(0), level)
+        )
+        overflow = state["overflow"] | (
+            level + self.push_frames > self.capacity
+        ) | (retire > state["level"]) | (retire > self.push_frames)
+        return {
+            **state,
+            "buf": buf,
+            "base": base,
+            "level": level + jnp.asarray(count, jnp.int32),
+            "overflow": overflow,
+        }
+
+    def end(self, state):
+        import jax.numpy as jnp
+
+        return {**state, "ended": jnp.asarray(True)}
+
+    # ---- RANDOM_ACCESS surface (resample.py matmul path) ----
+
+    def access_window(self, state):
+        """(origin, frames available from origin). While live, the
+        stream is unbounded (2^31-ish) so downstream drain logic never
+        fires; once ended, the true total is reported."""
+        import jax.numpy as jnp
+
+        total = state["base"] + state["level"]
+        live = jnp.int32(2**30)
+        return jnp.int32(0), jnp.where(state["ended"], total, live)
+
+    def slice_frames(self, state, start, length: int):
+        import jax.lax as lax
+        import jax.numpy as jnp
+
+        local = jnp.clip(start - state["base"], 0,
+                         self.capacity - length)
+        return lax.dynamic_slice(
+            state["buf"], (jnp.int32(0), local.astype(jnp.int32)),
+            (self.spec.channels, length),
+        )
+
+    def gather_frames(self, state, idx):
+        import jax.numpy as jnp
+
+        return jnp.take(state["buf"], idx - state["base"], axis=1,
+                        mode="fill", fill_value=0)
+
+    # ---- sequential pull surface (identity-rate consumers) ----
+
+    def emit(self, state, n: int):
+        import jax.numpy as jnp
+
+        from ..core.node import clip_valid, mask_block
+
+        out = state["buf"][:, :n]
+        valid = jnp.where(
+            state["ended"], clip_valid(state["level"], n), jnp.int32(n)
+        )
+        i = jnp.arange(n, dtype=jnp.int32)
+        out = jnp.where(i[None, :] < state["level"], out, 0.0)
+        out = mask_block(out, valid)
+        buf = jnp.roll(state["buf"], -n, axis=1)
+        level = jnp.maximum(state["level"] - n, 0)
+        return {**state, "buf": buf, "base": state["base"] + n,
+                "level": level}, out, valid
+
+
+class StreamingDecoder(StreamingFeed):
+    """Incremental decode of ANY supported format at O(packet) memory —
+    the streaming counterpart of :class:`rodio_tpu.io.decoder.Decoder`
+    (whole-file ingest). WAV streams through the native RIFF reader;
+    every compressed format (flac/mp3/ogg/opus/m4a/...) streams through
+    the re-entrant ffmpeg shim (native/ffdec.cpp rtpu_ffs_*), the
+    incremental analog of the reference's packet loop
+    (src/decoder/symphonia.rs:336-417).
+
+    ``start_at``/``loop``: seek before the first chunk (demuxer-coarse)
+    and restart at end-of-stream, for long-running farm sources.
+    """
+
+    def __init__(self, path: str, *, chunk_frames: int = 8192,
+                 buffer_seconds: float = 0.5, start_at: float = 0.0,
+                 loop: bool = False):
+        import os
+
+        ext = os.path.splitext(str(path))[1].lower()
+        if ext in (".wav", ".wave"):
+            spec = wav_stream_spec(path)
+            producer = _wav_stream_chunks(path, chunk_frames)
+            if start_at or loop:
+                raise ValueError(
+                    "start_at/loop supported on compressed formats only"
+                )
+        else:
+            from .native import FfStream
+
+            stream = FfStream(path)
+            spec = StreamSpec(stream.channels, stream.sample_rate)
+            if start_at:
+                stream.seek(start_at)
+
+            def producer_gen():
+                s = stream
+                while True:
+                    blk = s.read(chunk_frames)
+                    if blk.shape[1] == 0:
+                        if not loop:
+                            s.close()
+                            return
+                        s.seek(0.0)
+                        continue
+                    yield blk
+
+            producer = producer_gen()
+        super().__init__(producer, spec, buffer_seconds=buffer_seconds)
+
+
 class DeviceFeeder:
     """Double-buffered host->device block feed.
 

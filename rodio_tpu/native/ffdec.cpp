@@ -208,3 +208,159 @@ int rtpu_ff_decode(const uint8_t* data, size_t len, float** out_pcm,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Re-entrant streaming decode: open a file (or growable path), pull
+// interleaved f32 PCM in caller-sized chunks at O(packet) memory — the
+// incremental analog of the reference's packet loop
+// (src/decoder/symphonia.rs:336-417). Undecodable packets are skipped.
+//
+// C ABI:
+//   void* rtpu_ffs_open(const char* path, unsigned* channels,
+//                       unsigned* rate, double* duration_secs);
+//   long long rtpu_ffs_read(void* h, float* out, long long max_frames);
+//     -> frames written (0 = end of stream, <0 = error)
+//   int rtpu_ffs_seek(void* h, double seconds);
+//   void rtpu_ffs_close(void* h);
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct FfStream {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* ctx = nullptr;
+  AVPacket* pkt = nullptr;
+  AVFrame* frame = nullptr;
+  int stream_idx = -1;
+  unsigned channels = 0;
+  unsigned rate = 0;
+  bool draining = false;
+  bool eof = false;
+  std::vector<float> leftover;  // interleaved remainder of the last frame
+  size_t leftover_pos = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* rtpu_ffs_open(const char* path, unsigned* out_channels,
+                    unsigned* out_rate, double* out_duration) {
+  av_log_set_level(AV_LOG_ERROR);
+  FfStream* s = new FfStream();
+  int rc = avformat_open_input(&s->fmt, path, nullptr, nullptr);
+  if (rc < 0) {
+    delete s;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(s->fmt, nullptr) < 0) goto fail;
+  {
+    const AVCodec* codec = nullptr;
+    s->stream_idx =
+        av_find_best_stream(s->fmt, AVMEDIA_TYPE_AUDIO, -1, -1, &codec, 0);
+    if (s->stream_idx < 0 || !codec) goto fail;
+    s->ctx = avcodec_alloc_context3(codec);
+    avcodec_parameters_to_context(
+        s->ctx, s->fmt->streams[s->stream_idx]->codecpar);
+    if (avcodec_open2(s->ctx, codec, nullptr) < 0) goto fail;
+    s->channels = (unsigned)s->ctx->ch_layout.nb_channels;
+    s->rate = (unsigned)s->ctx->sample_rate;
+    if (s->channels == 0 || s->rate == 0) goto fail;
+  }
+  s->pkt = av_packet_alloc();
+  s->frame = av_frame_alloc();
+  *out_channels = s->channels;
+  *out_rate = s->rate;
+  if (out_duration) {
+    *out_duration = s->fmt->duration > 0
+                        ? (double)s->fmt->duration / AV_TIME_BASE
+                        : -1.0;
+  }
+  return s;
+fail:
+  if (s->ctx) avcodec_free_context(&s->ctx);
+  if (s->fmt) avformat_close_input(&s->fmt);
+  delete s;
+  return nullptr;
+}
+
+long long rtpu_ffs_read(void* handle, float* out, long long max_frames) {
+  FfStream* s = (FfStream*)handle;
+  if (!s || max_frames <= 0) return -1;
+  const size_t want = (size_t)max_frames * s->channels;
+  size_t got = 0;
+
+  // drain the leftover of the previous AVFrame first
+  if (s->leftover_pos < s->leftover.size()) {
+    size_t n = s->leftover.size() - s->leftover_pos;
+    if (n > want) n = want;
+    memcpy(out, s->leftover.data() + s->leftover_pos, n * sizeof(float));
+    s->leftover_pos += n;
+    got += n;
+  }
+
+  while (got < want && !s->eof) {
+    if (!s->draining) {
+      int r = av_read_frame(s->fmt, s->pkt);
+      if (r < 0) {
+        s->draining = true;
+        avcodec_send_packet(s->ctx, nullptr);  // flush
+      } else if (s->pkt->stream_index != s->stream_idx) {
+        av_packet_unref(s->pkt);
+        continue;
+      } else {
+        avcodec_send_packet(s->ctx, s->pkt);  // errors skipped below
+        av_packet_unref(s->pkt);
+      }
+    }
+    int r = avcodec_receive_frame(s->ctx, s->frame);
+    if (r == AVERROR(EAGAIN)) {
+      if (s->draining) {
+        s->eof = true;
+        break;
+      }
+      continue;
+    }
+    if (r == AVERROR_EOF || r < 0) {
+      s->eof = true;
+      break;
+    }
+    std::vector<float> buf;
+    if (!append_frame(s->frame, (int)s->channels, buf)) return -2;
+    size_t n = buf.size();
+    size_t take = want - got < n ? want - got : n;
+    memcpy(out + got, buf.data(), take * sizeof(float));
+    got += take;
+    if (take < n) {
+      s->leftover.assign(buf.begin() + take, buf.end());
+      s->leftover_pos = 0;
+    }
+  }
+  return (long long)(got / s->channels);
+}
+
+int rtpu_ffs_seek(void* handle, double seconds) {
+  FfStream* s = (FfStream*)handle;
+  if (!s) return -1;
+  int64_t ts = (int64_t)(seconds * AV_TIME_BASE);
+  int rc = av_seek_frame(s->fmt, -1, ts, AVSEEK_FLAG_BACKWARD);
+  if (rc < 0) return rc;
+  avcodec_flush_buffers(s->ctx);
+  s->draining = false;
+  s->eof = false;
+  s->leftover.clear();
+  s->leftover_pos = 0;
+  return 0;
+}
+
+void rtpu_ffs_close(void* handle) {
+  FfStream* s = (FfStream*)handle;
+  if (!s) return;
+  if (s->frame) av_frame_free(&s->frame);
+  if (s->pkt) av_packet_free(&s->pkt);
+  if (s->ctx) avcodec_free_context(&s->ctx);
+  if (s->fmt) avformat_close_input(&s->fmt);
+  delete s;
+}
+
+}  // extern "C"

@@ -229,6 +229,17 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
         # rows come from c_ref[5:] (see the wrapper derivation).
         LA = lookahead
 
+        def _tree_sum(terms):
+            # pairwise reduction: depth log2(n) instead of n — the loop
+            # is latency-bound, so the add-tree depth IS the cost
+            while len(terms) > 1:
+                nxt = [terms[i] + terms[i + 1]
+                       for i in range(0, len(terms) - 1, 2)]
+                if len(terms) % 2:
+                    nxt.append(terms[-1])
+                terms = nxt
+            return terms[0]
+
         def step_la(i, acc):
             x1, x2, y1, y2 = acc
             t = LA * i
@@ -237,17 +248,17 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
             base = 5
             for k in range(LA):
                 if k == 0:
-                    y = (b0 * xs[0] + b1 * x1 + b2 * x2
-                         - a1 * y1 - a2 * y2)
+                    y = _tree_sum([b0 * xs[0], b1 * x1, b2 * x2,
+                                   -(a1 * y1), -(a2 * y2)])
                 else:
                     nco = k + 4
                     cf = [c_ref[base + j] for j in range(nco)]
                     base += nco
-                    y = b0 * xs[k]
-                    for j in range(k):       # x[t+k-1-j] ... x[t]
-                        y = y + cf[j] * xs[k - 1 - j]
-                    y = (y + cf[k] * x1 + cf[k + 1] * x2
-                         + cf[k + 2] * y1 + cf[k + 3] * y2)
+                    terms = [b0 * xs[k]]
+                    terms += [cf[j] * xs[k - 1 - j] for j in range(k)]
+                    terms += [cf[k] * x1, cf[k + 1] * x2,
+                              cf[k + 2] * y1, cf[k + 3] * y2]
+                    y = _tree_sum(terms)
                 y_scr[t + k] = y
                 ys.append(y)
             return (xs[-1], xs[-2], ys[-1], ys[-2])

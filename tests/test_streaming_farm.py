@@ -1,0 +1,155 @@
+"""Streaming ingest: re-entrant decode, PushPort FIFO, StreamFarm.
+
+The farm path (host packet-loop decode -> device FIFO -> wide DSP) must
+match the whole-file ingest chain sample for sample; FLAC is lossless in
+both decoders so the comparison is direct.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+ASSET = "/root/reference/assets/music.flac"
+
+
+def _skip_without_native():
+    import os
+
+    if not os.path.exists(ASSET):
+        pytest.skip("missing asset")
+    try:
+        from rodio_tpu.io.native import lib
+
+        lib()
+    except Exception as e:
+        pytest.skip(f"native lib unavailable: {e}")
+
+
+def test_ffstream_chunked_equals_whole_decode():
+    """Incremental reads concatenate to the exact whole-file decode
+    (both paths run the same ffmpeg packet loop,
+    src/decoder/symphonia.rs:336-417 analog)."""
+    _skip_without_native()
+    from rodio_tpu.io.native import FfStream, ff_decode
+
+    whole, rate = ff_decode(open(ASSET, "rb").read())
+    s = FfStream(ASSET)
+    assert s.sample_rate == rate and s.channels == whole.shape[0]
+    parts = [blk for blk in s.chunks(10000)]
+    s.close()
+    got = np.concatenate(parts, axis=1)
+    assert got.shape == whole.shape
+    np.testing.assert_array_equal(got, whole)
+
+
+def test_ffstream_flac_lossless_vs_native_decoder():
+    """ffmpeg streaming FLAC == the in-repo bit-exact FLAC decoder."""
+    _skip_without_native()
+    from rodio_tpu.io.native import FfStream, flac_decode
+
+    ref, rate = flac_decode(open(ASSET, "rb").read())
+    s = FfStream(ASSET)
+    got = np.concatenate(list(s.chunks(65536)), axis=1)
+    s.close()
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_push_port_fifo_semantics():
+    from rodio_tpu.io.streaming import PushPort
+
+    port = PushPort(2, 48000, capacity=64, push_frames=16)
+    st = port.init_state()
+    blk = np.arange(32, dtype=np.float32).reshape(2, 16)
+    st = port.push(st, jnp.asarray(blk), 16)
+    st = port.push(st, jnp.asarray(blk + 100), 10)
+    st, out, valid = port.emit(st, 20)
+    assert int(valid) == 20
+    np.testing.assert_array_equal(np.asarray(out[:, :16]), blk)
+    np.testing.assert_array_equal(np.asarray(out[:, 16:20]),
+                                  blk[:, :4] + 100)
+    assert int(st["level"]) == 6
+    # ended: validity reflects the remaining level
+    st = port.end(st)
+    st, out, valid = port.emit(st, 20)
+    assert int(valid) == 6
+    assert not bool(st["overflow"])
+
+
+def test_push_port_overflow_flag():
+    from rodio_tpu.io.streaming import PushPort
+
+    port = PushPort(1, 48000, capacity=32, push_frames=16)
+    st = port.init_state()
+    blk = jnp.ones((1, 16))
+    for _ in range(3):  # level 32 -> third push would exceed capacity
+        st = port.push(st, blk, 16)
+    assert bool(st["overflow"])
+
+
+def test_stream_farm_matches_whole_file_chain():
+    """Constant-memory farm == whole-file ingest chain (flac lossless)."""
+    _skip_without_native()
+    from rodio_tpu.conversions.resample import Resample
+    from rodio_tpu.effects.basic import Amplify
+    from rodio_tpu.effects.blt import BltFilter
+    from rodio_tpu.effects.limit import Limit, LimitSettings
+    from rodio_tpu.io.decoder import Decoder
+    from rodio_tpu.parallel.batch import WideMixer
+    from rodio_tpu.parallel.farm import StreamFarm
+    from rodio_tpu.sources.generators import SamplesBuffer
+
+    S = 4
+    farm = StreamFarm([ASSET] * S, block_frames=1024, loop=False,
+                      decode_workers=4)
+    blocks = []
+    valid_total, energy, overflow = farm.run(
+        12, on_block=lambda k, o, v: blocks.append(np.asarray(o)[:, :int(v)])
+    )
+    farm.close()
+    assert not overflow
+    assert valid_total == 12 * 1024
+    got = np.concatenate(blocks, axis=1)
+
+    pcm = np.asarray(Decoder(ASSET).init_state()["data"])[:, :-8192]
+    chain = SamplesBuffer(S * 2, 44100, np.tile(pcm, (S, 1)))
+    chain = Resample(chain, 48000, max_block=1024)
+    chain = BltFilter(chain, "low_pass", 2000.0, 0.5)
+    chain = Amplify(chain, np.repeat(np.full(S, 1.0 / S, np.float32), 2))
+    chain = WideMixer(chain, S)
+    master = Limit(chain, LimitSettings(), mode="auto")
+    st = master.init_state()
+    step = jax.jit(lambda s: master.emit(s, 1024))
+    exp_blocks = []
+    for _ in range(12):
+        st, out, valid = step(st)
+        exp_blocks.append(np.asarray(out)[:, :int(valid)])
+    exp = np.concatenate(exp_blocks, axis=1)
+    n = min(got.shape[1], exp.shape[1])
+    np.testing.assert_allclose(got[:, :n], exp[:, :n], atol=1e-6)
+
+
+def test_stream_farm_loop_and_offsets_run():
+    """Looping + staggered starts keep the farm alive past file ends."""
+    _skip_without_native()
+    from rodio_tpu.parallel.farm import StreamFarm
+
+    farm = StreamFarm([ASSET] * 3, block_frames=1024, loop=True,
+                      start_offsets=[0.0, 2.0, 5.0], decode_workers=3)
+    valid, energy, overflow = farm.run(6)
+    farm.close()
+    assert valid == 6 * 1024 and not overflow and energy > 0
+
+
+def test_streaming_decoder_source():
+    """StreamingDecoder drives the host-block API for compressed input."""
+    _skip_without_native()
+    from rodio_tpu.io.streaming import StreamingDecoder
+
+    src = StreamingDecoder(ASSET, chunk_frames=4096)
+    assert src.spec.sample_rate == 44100 and src.spec.channels == 2
+    blk, alive = src.next_block(2048)
+    assert alive and blk.shape == (2, 2048)
+    from rodio_tpu.io.native import flac_decode
+
+    ref, _ = flac_decode(open(ASSET, "rb").read())
+    np.testing.assert_array_equal(blk, ref[:, :2048])
