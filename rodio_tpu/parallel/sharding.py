@@ -96,15 +96,153 @@ class ShardedBatch:
         self.chain = chain
         self.mesh = mesh
         self.axis = axis
+        self._steps = {}  # block size -> jitted step (no per-call retrace)
 
     def init_state(self) -> State:
         return shard_batched_state(self.chain.state, self.mesh, self.axis)
 
     def emit(self, state: State, n: int):
-        out_shard = NamedSharding(self.mesh, P(self.axis))
-
-        @jax.jit
-        def step(st):
-            return self.chain.emit(st, n)
-
+        step = self._steps.get(n)
+        if step is None:
+            step = jax.jit(lambda st: self.chain.emit(st, n))
+            self._steps[n] = step
         return step(state)
+
+
+class _BlockFeed:
+    """In-graph source whose block arrives through its state — lets a
+    stateful wrapper node (e.g. the master Limit) process an
+    already-computed block inside a larger traced program."""
+
+    def __init__(self, channels: int, sample_rate: int):
+        from ..core.types import StreamSpec
+
+        self.spec = StreamSpec(channels, sample_rate)
+
+    def total_frames(self):
+        return None
+
+    def init_state(self) -> State:
+        return {}
+
+    def emit(self, state: State, n: int):
+        return {}, state["blk"][:, :n], state["v"]
+
+
+class ShardedWidePipeline:
+    """The FULL wide-channel flagship chain sharded over a device mesh.
+
+    ``build(n_streams) -> Node`` must construct the per-stream chain in the
+    wide-channel layout ending in a stream-axis mix (output [C, T]) with
+    ALL per-stream variation in the state pytree (data buffers, gains,
+    filter/AGC/limiter carries — the framework convention). The same
+    builder then yields:
+
+    - the GLOBAL chain (S streams) whose ``init_state`` supplies the full
+      state, placed sharded: every leaf whose leading axis is per-stream
+      (detected by comparing global vs local leaf shapes) splits across
+      the mesh; scalars and master-bus state replicate;
+    - the LOCAL template (S / n_devices streams) traced per chip inside
+      ``shard_map``.
+
+    Each block step is ONE jitted SPMD program, built once per block size
+    (no per-call retrace): local chain emit -> per-chip partial mix ->
+    ``psum`` over ICI -> master limiter computed INSIDE the shard_map on
+    the replicated mix (its state carried replicated) — the multi-chip
+    analog of the flagship's mix+master-limit stack
+    (src/mixer.rs:185-198 + src/source/limit.rs).
+    """
+
+    def __init__(self, build, n_streams: int, mesh: Mesh,
+                 axis: str = "streams", master_settings=None):
+        from ..effects.limit import Limit, LimitSettings
+
+        self.mesh = mesh
+        self.axis = axis
+        n_dev = mesh.devices.size
+        if n_streams % n_dev:
+            raise ValueError(
+                f"{n_streams} streams not divisible by {n_dev} devices"
+            )
+        self.n_streams = n_streams
+        self.global_chain = build(n_streams)
+        self.local_chain = build(n_streams // n_dev)
+        self.spec = self.global_chain.spec
+        assert self.local_chain.spec.channels == self.spec.channels, (
+            "builder must end in a stream-axis mix (output [C, T])"
+        )
+        feed = _BlockFeed(self.spec.channels, self.spec.sample_rate)
+        self.master = Limit(
+            feed, master_settings or LimitSettings(), mode="exact"
+        )
+        # leaf-wise specs: sharded where the global leaf's leading axis
+        # scales with the stream count, replicated where it doesn't
+        g_leaves, self._treedef = jax.tree_util.tree_flatten(
+            self.global_chain.init_state()
+        )
+        l_leaves = jax.tree_util.tree_leaves(self.local_chain.init_state())
+        assert len(g_leaves) == len(l_leaves), (
+            "builder must produce shape-compatible states at any S"
+        )
+        self._chain_specs = jax.tree_util.tree_unflatten(
+            self._treedef,
+            [
+                P(axis, *([None] * (g.ndim - 1)))
+                if g.shape != l.shape else P()
+                for g, l in zip(g_leaves, l_leaves)
+            ],
+        )
+        self._steps = {}
+
+    def init_state(self) -> State:
+        def put(x, spec):
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        chain = jax.tree_util.tree_map(
+            put, self.global_chain.init_state(), self._chain_specs
+        )
+        rep = NamedSharding(self.mesh, P())
+        master = jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), rep),
+            self.master.init_state(),
+        )
+        return {"chain": chain, "master": master}
+
+    def _build_step(self, n: int):
+        axis = self.axis
+        local = self.local_chain
+        master = self.master
+
+        def per_chip(chain_state, master_state):
+            st, part, valid = local.emit(chain_state, n)
+            mix = jax.lax.psum(part, axis)
+            valid = jax.lax.pmax(valid, axis)
+            mst, out, v = master.emit(
+                {**master_state, "in": {"blk": mix, "v": valid}}, n
+            )
+            mst = {**mst, "in": {}}  # keep the replicated-state treedef
+            return st, mst, out, v
+
+        from jax.experimental.shard_map import shard_map
+
+        rep_specs = jax.tree_util.tree_map(
+            lambda _: P(), self.master.init_state()
+        )
+        fn = shard_map(
+            per_chip,
+            mesh=self.mesh,
+            in_specs=(self._chain_specs, rep_specs),
+            out_specs=(self._chain_specs, rep_specs, P(), P()),
+            check_rep=False,
+        )
+        return jax.jit(fn)
+
+    def emit(self, state: State, n: int):
+        step = self._steps.get(n)
+        if step is None:
+            step = self._build_step(n)
+            self._steps[n] = step
+        mst_in = dict(state["master"])
+        mst_in["in"] = {}
+        chain, mst, out, v = step(state["chain"], mst_in)
+        return {"chain": chain, "master": mst}, out, v
