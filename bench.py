@@ -100,6 +100,7 @@ def main():
         with_agc=os.environ.get("BENCH_AGC", "0") == "1",
         max_block=max(T, 8192),
         lookahead=int(os.environ.get("BENCH_LOOKAHEAD", "4")),
+        precision=os.environ.get("BENCH_PRECISION", "auto"),
     )
 
     t_a, e_a, v_a = _run_scan(node, state, T, n_blocks, r1)

@@ -57,6 +57,7 @@ class FusedWidePipeline(Node):
                  n_streams: int, kind: str = "low_pass",
                  freq: float = 2000.0, q: float = 0.5, *, m: int = 2,
                  precision: str = "auto", lookahead: int = 4,
+                 subblk: int = 0,
                  with_agc: bool = False, agc_settings=None):
         assert getattr(input_node, "RANDOM_ACCESS", False) and hasattr(
             input_node, "slice_frames"
@@ -132,14 +133,25 @@ class FusedWidePipeline(Node):
                     M[c, c * half + s] = per_lane[s * C + c]
         else:
             self._perm = None
-            # M[c, l] = gain_l if l % C == c else 0 (rows C..8, >= wide: 0)
+            # per-stream gains are FOLDED INTO THE PCM at init (exact f32
+            # scale, applied once), so the mix matrix is pure 0/1 channel
+            # selection — exactly representable in bf16, which lets the
+            # kernel run an EXACT 3-pass split-operand mix instead of a
+            # 6-pass HIGHEST matmul (ops/fused.py step 4)
             M = np.zeros((8, LANES), dtype=np.float32)
             for c in range(C):
-                M[c, c : wide : C] = per_lane[c::C]
+                M[c, c:wide:C] = 1.0
+            self._gain_fold = per_lane
         self._mixmat = jnp.asarray(M)
         self._wide = wide
         self._lanes = LANES
         self._s0 = getattr(input_node, "_start", 0)
+        # optional blocked-IIR sub-block length (ops/fused.py step 3).
+        # Default 0 = scattered look-ahead loop: on v5e the interleaved
+        # chains measured ~15% SLOWER than look-ahead-4 (scattered
+        # dynamic-row access dominates), so the blocked path stays an
+        # opt-in alternative for future tuning
+        self.subblk = 0 if with_agc else int(subblk)
 
     def total_frames(self) -> Optional[int]:
         n_in = self.input.total_frames()
@@ -161,20 +173,33 @@ class FusedWidePipeline(Node):
         ).T[self._s0 :]                                 # [F - s0, LANES]
         if self._perm is not None:
             data_t = data_t[:, self._perm]              # channel-major lanes
+        else:
+            # fold the per-stream gains into the PCM (binary mix matrix)
+            g = jnp.pad(
+                jnp.asarray(self._gain_fold),
+                (0, self._lanes - self._wide), constant_values=1.0,
+            )
+            data_t = data_t * g[None, :]
         nc = data_t.shape[0] // fr
         fr_p = -(-fr // 16) * 16
         chunks = jnp.pad(
             data_t[: nc * fr].reshape(nc, fr, self._lanes),
             ((0, 0), (0, fr_p - fr), (0, 0)),
         )
-        if self.precision == "int3":
-            # exact 3-way bf16 split: p1+p2+p3 == chunks bitwise (f32 has
-            # 24 mantissa bits = 3 x 8-bit bf16 pieces)
+        if self.precision in ("int3", "int2"):
+            # exact bf16 piece split: 3 pieces reproduce all 24 f32
+            # mantissa bits bitwise; 2 pieces ("int2") drop the last
+            # (residual < 2^-18 relative — after gain folding the lane
+            # values carry ~1/S scale, so the summed-mix error stays
+            # ~1e-7 absolute) for 2/3 the HBM traffic
             p1 = chunks.astype(jnp.bfloat16)
             r = chunks - p1.astype(chunks.dtype)
             p2 = r.astype(jnp.bfloat16)
-            p3 = (r - p2.astype(chunks.dtype)).astype(jnp.bfloat16)
-            chunks = jnp.stack([p1, p2, p3], axis=1)
+            if self.precision == "int3":
+                p3 = (r - p2.astype(chunks.dtype)).astype(jnp.bfloat16)
+                chunks = jnp.stack([p1, p2, p3], axis=1)
+            else:
+                chunks = jnp.stack([p1, p2], axis=1)
         xn_all_t = data_t[::fr]                         # [Fc, LANES]
         # the PCM lives only in the chunked layout: drop the upstream
         # buffer's copy (emit touches just its pos/end scalars)
@@ -245,6 +270,7 @@ class FusedWidePipeline(Node):
                 chunks, c0c, xn_t, self._rs._G0, self._rs._g1, self._mixmat,
                 self.coeffs, state["bq"], fr=fr, to=to, m=m,
                 precision=self.precision, lookahead=self.lookahead,
+                subblk=self.subblk, binary_mix=True,
                 interpret=interpret,
             )
         out = mix8[: self.spec.channels, :]
@@ -275,7 +301,8 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
                   channels: int = 2, seed: int = 0,
                   scan_mode: str = "exact", with_agc: bool = False,
                   source_pcm: Optional[np.ndarray] = None,
-                  max_block: int = 8192, lookahead: int = 4):
+                  max_block: int = 8192, lookahead: int = 4,
+                  precision: str = "auto"):
     """Build (master_node, state) for the flagship pipeline.
 
     ``source_pcm``: optional [channels, frames] PCM at in_rate shared as the
@@ -310,7 +337,7 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
     if scan_mode == "fused":
         fused = FusedWidePipeline(
             chain, out_rate, gains, n_streams, "low_pass", 2000.0, 0.5,
-            with_agc=with_agc, lookahead=lookahead,
+            with_agc=with_agc, lookahead=lookahead, precision=precision,
         )
         master = Limit(fused, LimitSettings(), mode="auto")
         return master, master.init_state()

