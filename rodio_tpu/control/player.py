@@ -11,9 +11,10 @@ state fields; the Player writes them between blocks. With the default
 block size of 256 frames @48 kHz the control latency is ~5.3 ms — the same
 control cadence as the reference's PeriodicAccess(5 ms).
 
-Runtime speed changes currently take effect per appended source at append
-time (static resample ratio); live varispeed is on the roadmap (traced
-ratio resampling).
+Live varispeed: every speed-bearing chain carries a VariSpeed stage
+(conversions/varispeed.py) whose ratio is a traced state field, so
+``set_speed`` is a pure state update with zero recompiles (the first
+change on a plain chain re-plans once to insert the stage).
 """
 from __future__ import annotations
 
@@ -116,21 +117,37 @@ class Player:
             period_seconds, fn, self._mixer.spec.sample_rate
         )
 
-    def _wrap(self, node: Node, speed: float) -> "PlayerControl":
+    def _wrap(self, node: Node, speed: float,
+              varispeed: Optional[bool] = None) -> "PlayerControl":
         from ..conversions.uniform import Uniform
+        from ..conversions.varispeed import VariSpeed
 
         original = node
-        if speed != 1.0:
-            from ..effects.basic import Speed
-
-            node = Speed(node, speed)
+        vs = None
+        if varispeed is None:
+            varispeed = speed != 1.0
+        if varispeed:
+            # live varispeed stage: the ratio is a TRACED state field, so
+            # subsequent set_speed calls are pure state updates — no
+            # re-plan, no recompile (the block analog of the reference's
+            # free runtime factor, src/source/speed.rs:56-65). Inserted
+            # lazily (here or at the first set_speed) because its input
+            # ring pre-buffers upstream audio, which would add latency
+            # to OTHER live controls (e.g. spatial position) on sounds
+            # that never change speed.
+            # max_block covers the downstream Uniform's amplified pull
+            # (rate conversion pulls up to ~4x the sink block)
+            vs = VariSpeed(node, ratio=speed, max_ratio=8.0,
+                           max_block=8 * self.block_frames)
+            node = vs
         node = Uniform(
             node, self._mixer.spec.channels, self._mixer.spec.sample_rate
         )
         wrapped = PlayerControl(
             node, initially_paused=self._paused, volume=self._volume
         )
-        wrapped.original = original  # kept for live re-plans (speed changes)
+        wrapped.original = original  # kept for seek / first-change re-plans
+        wrapped.varispeed = vs
         wrapped.speed = speed
         return wrapped
 
@@ -167,31 +184,56 @@ class Player:
     def volume(self) -> float:
         return self._volume
 
+    @staticmethod
+    def _update_varispeed(state, vs, speed):
+        """Walk the nested chain state to the VariSpeed sub-state (the
+        dict holding both 'ratio' and 'ring') and swap the ratio."""
+        if not isinstance(state, dict):
+            return False
+        if "ratio" in state and "ring" in state:
+            new = vs.set_ratio(state, speed)
+            state.update(new)
+            return True
+        for v in state.values():
+            if isinstance(v, dict) and Player._update_varispeed(
+                v, vs, speed
+            ):
+                return True
+        return False
+
     def set_speed(self, speed: float):
-        """Live varispeed: queued sounds pick the new factor up on start;
-        the CURRENT sound re-plans at the next block boundary — the block
-        analog of the reference's span re-bootstrap with the scaled rate
-        (src/source/speed.rs + src/source/uniform.rs interplay)."""
+        """Live varispeed with ZERO recompiles: every appended sound
+        carries a VariSpeed stage whose ratio is a traced state field
+        (conversions/varispeed.py), so the new factor is a pure state
+        update taking effect at the next block — the block analog of the
+        reference's free runtime factor (src/source/speed.rs:56-65).
+        Source position is naturally preserved (the ring keeps pulling
+        from where it was)."""
         self._speed = speed
         cur = self.queue_rx.current
         if cur is None:
             return
+        node = cur["node"]
+        vs = getattr(node, "varispeed", None)
+        if vs is not None and self._update_varispeed(
+            cur["state"], vs, speed
+        ):
+            node.speed = speed
+            return
+        # first speed change on a chain built without a VariSpeed stage:
+        # re-plan ONCE inserting it (subsequent changes are state-only),
+        # preserving playback position
         old = cur["node"]
         original = getattr(old, "original", None)
         if original is None or getattr(old, "speed", 1.0) == speed:
             return
-        # rebuild the chain at the new ratio, preserving playback position
-        # and control state
         pos_secs = 0.0
         state = cur["state"]
         if isinstance(state, dict) and "frames" in state:
             pos_secs = float(state["frames"]) / old.spec.sample_rate
-        # preserve the SOURCE position (the reference keeps pulling from the
-        # same sample; only the playback rate changes): source seconds =
-        # out seconds x old factor, re-expressed in the new chain's timeline
         source_secs = pos_secs * getattr(old, "speed", 1.0)
         pos_secs = source_secs / speed
-        wrapped = self._wrap(original, speed)
+        wrapped = self._wrap(original, speed, varispeed=True)
         from ..graph.render import compile_step
         from ..graph.seek import seek_state
 

@@ -87,9 +87,48 @@ class AutomaticGainControl(Node):
             "rms_sum": jnp.zeros((S,), dtype=dt),
             "window": jnp.zeros((S, RMS_WINDOW_SIZE), dtype=dt),
             "widx": jnp.zeros((), dtype=jnp.int32),
+            # live control surface (src/source/agc.rs:302-361): traced
+            # state fields -- set_* are pure state updates, no recompiles
+            "enabled": jnp.asarray(self.enabled),
+            "att": jnp.asarray(self.attack_coeff, dtype=dt),
+            "rel": jnp.asarray(self.release_coeff, dtype=dt),
         }
 
+    # -- live control handles (src/source/agc.rs:302-361) --
+    def set_enabled(self, state: State, on: bool) -> State:
+        # agc.rs set_enabled: bypass from the next block on. While
+        # bypassed, audio passes through unchanged and the detector
+        # state freezes (the reference early-return skips updates too).
+        return {**state, "enabled": jnp.asarray(on)}
+
+    def set_attack_time(self, state: State, seconds: float) -> State:
+        # agc.rs set_attack_time -- coefficient synthesized host-side in
+        # the reference f32 form, applied from the next block
+        nanos = min(duration_to_nanos(seconds), 10_000_000_000)
+        c = duration_to_coefficient(0, self.spec.sample_rate, nanos=nanos)
+        return {**state, "att": jnp.asarray(c, dtype=float_dtype())}
+
+    def set_release_time(self, state: State, seconds: float) -> State:
+        nanos = min(duration_to_nanos(seconds), 10_000_000_000)
+        c = duration_to_coefficient(0, self.spec.sample_rate, nanos=nanos)
+        return {**state, "rel": jnp.asarray(c, dtype=float_dtype())}
+
+    def _finish(self, state, knobs, s_in, new_fields, y, x_thru, valid):
+        # live-enable gate: when disabled, output passes through and the
+        # detector state freezes (agc.rs early return)
+        import jax
+
+        en = knobs["enabled"]
+        out = jnp.where(en, y, x_thru)
+        merged = {}
+        for k, v in new_fields.items():
+            merged[k] = jax.tree_util.tree_map(
+                lambda nv, ov: jnp.where(en, nv, ov), v, state[k]
+            )
+        return {"in": s_in, **merged, **knobs}, out, valid
+
     def emit(self, state: State, n: int):
+        knobs = {k: state[k] for k in ("enabled", "att", "rel")}
         s, x, valid = self.input.emit(state["in"], n)
         if not self.enabled:
             return {**state, "in": s}, x, valid
@@ -105,8 +144,16 @@ class AutomaticGainControl(Node):
         xs = jnp.abs(xg)
         sq = xs * xs
 
-        rel = dt(self.release_coeff)
-        att = dt(self.attack_coeff)
+        if self.mode in ("exact", "parallel"):
+            # scan modes read the live coefficients from the state
+            rel = state["rel"]
+            att = state["att"]
+        else:
+            # the Pallas kernels bake coefficients as static params
+            # (SMEM packing at trace time); live attack/release needs
+            # mode="exact"/"parallel"
+            rel = dt(self.release_coeff)
+            att = dt(self.attack_coeff)
         target = dt(self.target_level)
         max_gain = dt(self.absolute_max_gain)
         floor = dt(self.floor)
@@ -174,12 +221,12 @@ class AutomaticGainControl(Node):
             else:
                 pos = (widx + jnp.arange(m, dtype=jnp.int32)) % RMS_WINDOW_SIZE
                 window_new = state["window"].at[:, pos].set(sq)
-            return (
-                {"in": s, "peak": peak_c, "gain": gain_c, "rms_sum": sum_c,
+            return self._finish(
+                state, knobs, s,
+                {"peak": peak_c, "gain": gain_c, "rms_sum": sum_c,
                  "window": window_new,
                  "widx": (widx + m) % RMS_WINDOW_SIZE},
-                y,
-                valid,
+                y, mask_block(x, valid), valid,
             )
 
         if self.mode == "pallas":
@@ -205,12 +252,12 @@ class AutomaticGainControl(Node):
             else:
                 pos = (widx + jnp.arange(m, dtype=jnp.int32)) % RMS_WINDOW_SIZE
                 window_new = state["window"].at[:, pos].set(sq)
-            return (
-                {"in": s, "peak": peak_c, "gain": gain_c, "rms_sum": sum_c,
+            return self._finish(
+                state, knobs, s,
+                {"peak": peak_c, "gain": gain_c, "rms_sum": sum_c,
                  "window": window_new,
                  "widx": (widx + m) % RMS_WINDOW_SIZE},
-                y,
-                valid,
+                y, mask_block(x, valid), valid,
             )
 
         if self.mode == "exact":
@@ -272,15 +319,14 @@ class AutomaticGainControl(Node):
             window_new = state["window"].at[:, pos].set(sq)
             widx_new = (widx + m) % RMS_WINDOW_SIZE
 
-        return (
+        return self._finish(
+            state, knobs, s,
             {
-                "in": s,
                 "peak": peak_seq[:, -1],
                 "gain": gain_seq[:, -1],
                 "rms_sum": sum_seq[:, -1],
                 "window": window_new,
                 "widx": widx_new,
             },
-            y,
-            valid,
+            y, mask_block(x, valid), valid,
         )

@@ -4,6 +4,12 @@ TPU-native rebuild of src/source/blt.rs: the per-sample direct-form-I loop
 with per-channel history becomes a lanes-by-time recurrence
 (:func:`rodio_tpu.ops.scan.biquad_df1`), sequential-exact by default and
 O(log T) associative-scan parallel on demand.
+
+The coefficients live in the STATE, so the reference's runtime retune
+surface (``to_low_pass`` / ``to_high_pass`` / ``*_with_q``,
+src/source/blt.rs:68-91) is a pure state update: the new response takes
+effect at the next block with the filter history carried over and ZERO
+recompiles (every kernel reads the coefficient vector as data).
 """
 from __future__ import annotations
 
@@ -47,13 +53,35 @@ class BltFilter(Node):
         dt = float_dtype()
         z = jnp.zeros((c,), dtype=dt)
         return {"in": self.input.init_state(),
+                "coef": jnp.asarray(self.coeffs, dtype=dt),
                 "x1": z, "x2": z, "y1": z, "y2": z}
+
+    def retune(self, state: State, kind: Optional[str] = None,
+               freq: Optional[float] = None,
+               q: Optional[float] = None) -> State:
+        """Live retune (src/source/blt.rs:68-91 ``to_low_pass`` /
+        ``to_high_pass`` / ``*_with_q``): synthesize new coefficients in
+        f32 (same arithmetic as the reference) and swap them into the
+        state. Filter history (x1/x2/y1/y2) is preserved, exactly as the
+        reference keeps its ``x_n1..y_n2`` across ``set_to``; no
+        recompilation happens because every mode reads the coefficients
+        as traced data."""
+        kind = kind or self.kind
+        freq = self.freq if freq is None else float(freq)
+        q = self.q if q is None else float(q)
+        ap = blt_coefficients(kind, self.spec.sample_rate, freq, q)
+        coef = jnp.asarray(
+            [ap.b0, ap.b1, ap.b2, ap.a1, ap.a2], dtype=float_dtype()
+        )
+        return {**state, "coef": coef}
 
     def emit(self, state: State, n: int):
         import jax
 
         s, x, valid = self.input.emit(state["in"], n)
         st = (state["x1"], state["x2"], state["y1"], state["y2"])
+        coef = state["coef"]
+        coeffs = tuple(coef[i] for i in range(5))
         mode = self.mode
         if mode == "auto":
             mode = "pallas" if jax.default_backend() == "tpu" else "exact"
@@ -62,15 +90,15 @@ class BltFilter(Node):
 
             interpret = jax.default_backend() != "tpu"
             y, (x1, x2, y1, y2) = biquad_df1_pallas(
-                x, self.coeffs, st, interpret=interpret
+                x, coeffs, st, interpret=interpret
             )
         else:
             y, (x1, x2, y1, y2) = biquad_df1(
-                x, self.coeffs, st, mode=mode
+                x, coeffs, st, mode=mode
             )
         y = mask_block(y, valid)
         return (
-            {"in": s, "x1": x1, "x2": x2, "y1": y1, "y2": y2},
+            {"in": s, "coef": coef, "x1": x1, "x2": x2, "y1": y1, "y2": y2},
             y,
             valid,
         )
