@@ -272,7 +272,10 @@ class Player:
                     pass
 
         def on_done(_inner):
-            player.sound_count -= 1
+            # natural end only: skipped/cleared sounds were already
+            # discounted by skip_one (player.rs:299-306)
+            if controls.to_clear == 0:
+                player.sound_count = max(0, player.sound_count - 1)
 
         wrapped = PeriodicAccess(Done(stack, on_done), self.PERIODIC_NS, access)
         self.queue_tx.append(wrapped)
@@ -303,7 +306,12 @@ class Player:
         self.controls.stopped = True
 
     def skip_one(self):
-        self.controls.to_clear += 1
+        # the reference decrements the visible count IMMEDIATELY
+        # (src/player.rs:299-306), before the periodic controller
+        # actually skips the sound
+        if self.sound_count > len(self.queue_tx.next_sounds):
+            self.controls.to_clear += 1
+        self.sound_count = max(0, self.sound_count - 1)
 
     def clear(self):
         self.skip_one()

@@ -168,10 +168,18 @@ class SamplesBuffer(Source):
         return frames * NANOS_PER_SEC // self._rate
 
     def try_seek(self, pos_ns: int) -> None:
-        # curr_channel-aligned O(1) seek (src/buffer.rs:101-120)
-        frames = (pos_ns * self._rate) // NANOS_PER_SEC
-        target = frames * self._channels
-        self._pos = min(int(target), len(self._data))
+        # O(1) seek preserving the CURRENT channel phase
+        # (src/buffer.rs:101-121): the target sample index is rounded UP
+        # to a frame boundary and then rewound by the channel offset the
+        # reader is mid-way through, so the L/R sequence stays correct
+        curr_channel = self._pos % self._channels
+        target = int(
+            float(np.float32(pos_ns / NANOS_PER_SEC))
+            * self._rate * self._channels
+        )
+        target = min(target, len(self._data))
+        target = -(-target // self._channels) * self._channels
+        self._pos = target - curr_channel
 
 
 class TestSource(Source):
