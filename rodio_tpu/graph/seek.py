@@ -1,31 +1,111 @@
 """Generic seek support.
 
 The reference threads try_seek through every wrapper down to the decoder
-(src/source/mod.rs:754). Block-engine states are pure functions of the
-graph + position, so the generic strategy is: rebuild the state and
-fast-forward to the target frame. Sources with O(1) seeks (buffers,
-generators, decoders with indexes) override via ``seek_state``.
+(src/source/mod.rs:754-809), which repositions in O(demuxer) time while
+every stateful wrapper (biquad history, AGC detector, limiter envelope)
+simply KEEPS its running state across the jump.
+
+Block-engine strategy: states are pure functions of the graph + position,
+so ``seek_state`` rebuilds the chain state with the SOURCE repositioned
+through its O(1) ``seek_state`` (buffers, generators, decoded PCM — the
+demuxer-seek analog) and then replays only a short ``pre_roll`` window
+through the chain to warm the recurrences and refill resampler rings.
+Cost is O(pre_roll), independent of the target position — seeking to
+t=600 s costs the same as seeking to t=1 s. The pre-roll warmup is a
+deliberate fidelity upgrade over the reference's keep-stale-state
+behavior: after the jump the filter/AGC/limiter states reflect the audio
+just BEFORE the target instead of the audio before the jump.
+
+Sources without an O(1) seek fall back to full-prefix replay.
 """
 from __future__ import annotations
+
+from typing import Optional
 
 from ..core.node import Node
 
 
-def seek_state(node: Node, seconds: float, *, step_frames: int = 8192):
-    """Return a fresh state positioned at ``seconds`` (saturating at the end,
-    matching the reference's saturation contract, src/source/mod.rs:739-742).
-    """
-    target = int(seconds * node.spec.sample_rate)
+def _innermost(node: Node):
+    """(wrapper chain outer->inner, source node) via .input links."""
+    chain = []
+    cur = node
+    while hasattr(cur, "input"):
+        chain.append(cur)
+        cur = cur.input
+    return chain, cur
+
+
+def _source_seconds(chain, seconds: float) -> float:
+    """Map output-timeline seconds to source-timeline seconds through
+    rate-changing wrappers (the reference's per-wrapper try_seek
+    position scaling, e.g. src/source/speed.rs:141-144)."""
+    from ..effects.basic import Speed
+
+    for w in chain:
+        if isinstance(w, Speed):
+            seconds *= w.factor
+    return seconds
+
+
+def _replace_deepest(state, keys, new_sub):
+    """Depth-first replace of the deepest dict whose key set equals
+    ``keys``; returns (new_state, replaced?)."""
+    if not isinstance(state, dict):
+        return state, False
+    for k, v in state.items():
+        nv, done = _replace_deepest(v, keys, new_sub)
+        if done:
+            return {**state, k: nv}, True
+    if set(state.keys()) == keys:
+        return new_sub, True
+    return state, False
+
+
+def seek_state(node: Node, seconds: float, *, step_frames: int = 8192,
+               pre_roll: float = 0.25):
+    """Return a state positioned at ``seconds`` (saturating at the end,
+    matching the reference's saturation contract,
+    src/source/mod.rs:739-742). O(pre_roll) when the chain's source has
+    an O(1) ``seek_state``; O(position) full replay otherwise."""
+    rate = node.spec.sample_rate
+    target = int(seconds * rate)
     total = node.total_frames()
     if total is not None:
         target = min(target, total)
-    state = node.init_state()
     if target <= 0:
+        return node.init_state()
+
+    chain, source = _innermost(node)
+    src_seek = getattr(source, "seek_state", None)
+    if src_seek is not None:
+        warm = min(int(pre_roll * rate), target)
+        src_secs = _source_seconds(chain, (target - warm) / rate)
+        try:
+            try:
+                sub = src_seek(source.init_state(), src_secs)
+            except TypeError:
+                sub = src_seek(src_secs)  # stateless generator signature
+            state = node.init_state()
+            keys = set(sub.keys()) if isinstance(sub, dict) else None
+            if keys is not None:
+                state, done = _replace_deepest(state, keys, sub)
+            else:
+                done = False
+            if done:
+                return _replay(node, state, warm, step_frames)
+        except Exception:
+            pass  # fall through to full replay
+
+    return _replay(node, node.init_state(), target, step_frames)
+
+
+def _replay(node: Node, state, frames: int, step_frames: int):
+    if frames <= 0:
         return state
     from .render import compile_step
 
     step = compile_step(node, step_frames)
-    remaining = target
+    remaining = frames
     while remaining >= step_frames:
         state, _, valid = step(state)
         remaining -= step_frames

@@ -185,9 +185,23 @@ class DeviceSinkBuilder:
 
     @classmethod
     def open_default_sink(cls) -> MixerDeviceSink:
-        """(src/stream.rs:247) — on a TPU host the default device is the
-        realtime-paced null sink."""
-        return cls().open()
+        """(src/stream.rs:247) — OS audio (ALSA) when the host has a
+        sound device; the realtime-paced null sink otherwise (TPU hosts
+        in production racks have no sound hardware)."""
+        builder = cls()
+        from . import alsa
+
+        if alsa.available():
+            builder._backend = alsa.AlsaDevice()
+        return builder.open()
+
+    def to_alsa(self, device: str = "default", **kw) -> "DeviceSinkBuilder":
+        """Explicit OS-audio backend (io/alsa.py); raises where
+        libasound is absent."""
+        from .alsa import AlsaDevice
+
+        self._backend = AlsaDevice(device, **kw)
+        return self
 
     def with_backend(self, backend: _Backend) -> "DeviceSinkBuilder":
         self._backend = backend

@@ -131,4 +131,23 @@ class MicrophoneBuilder:
         return self
 
     def open_stream(self) -> Microphone:
+        """Host-fed microphone: the caller drives ``feed()``."""
         return Microphone(self._config)
+
+    def open_os_stream(self, device: str = "default", **kw) -> Microphone:
+        """OS capture: an ALSA reader thread (io/alsa.py AlsaCapture)
+        produces into the mic's ring (src/microphone.rs:262-324).
+        The returned mic carries the capture handle as ``.capture``;
+        close() stops it. Raises where libasound is absent."""
+        from .alsa import AlsaCapture
+
+        mic = Microphone(self._config)
+        mic.capture = AlsaCapture(mic, device, **kw).start()
+        _orig_close = mic.close
+
+        def _close():
+            mic.capture.close()
+            _orig_close()
+
+        mic.close = _close
+        return mic

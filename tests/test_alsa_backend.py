@@ -1,0 +1,165 @@
+"""OS audio backend (io/alsa.py) — control-flow tests via an injected
+fake libasound (no sound hardware on TPU hosts; the real library binds
+at runtime where present), plus the realtime soak test (VERDICT r1
+item 9) asserting zero xruns through the device layer.
+"""
+import ctypes
+import time
+
+import numpy as np
+import pytest
+
+from rodio_tpu.io.alsa import AlsaCapture, AlsaDevice, available
+from rodio_tpu.io.device import (
+    DeviceConfig, DeviceSinkBuilder, MixerDeviceSink, NullDevice,
+)
+
+
+class FakeAlsa:
+    """Records calls; injects one EPIPE underrun mid-stream."""
+
+    def __init__(self, fail_at_write: int = 2, capture_blocks: int = 6):
+        self.writes = []
+        self.reads = 0
+        self.recovered = []
+        self.opened = []
+        self.closed = 0
+        self.drained = 0
+        self._fail_at = fail_at_write
+        self._capture_blocks = capture_blocks
+        self.params = None
+
+    def snd_pcm_open(self, pcm_ref, name, stream, mode):
+        self.opened.append((name, stream))
+        return 0
+
+    def snd_pcm_set_params(self, pcm, fmt, access, ch, rate, resample,
+                           latency):
+        self.params = (fmt, access, ch, rate, latency)
+        return 0
+
+    def snd_pcm_writei(self, pcm, buf, frames):
+        if len(self.writes) + 1 == self._fail_at and self._fail_at > 0:
+            self._fail_at = -1
+            return -32  # EPIPE underrun
+        self.writes.append(int(frames))
+        return int(frames)
+
+    def snd_pcm_readi(self, pcm, buf, frames):
+        self.reads += 1
+        if self.reads > self._capture_blocks:
+            time.sleep(0.005)
+            return -11  # EAGAIN: nothing captured
+        arr = (ctypes.c_float * (int(frames) * 1)).from_address(
+            ctypes.cast(buf, ctypes.c_void_p).value
+        )
+        for i in range(int(frames)):
+            arr[i] = 0.25
+        return int(frames)
+
+    def snd_pcm_recover(self, pcm, err, silent):
+        self.recovered.append(int(err))
+        return 0
+
+    def snd_pcm_drain(self, pcm):
+        self.drained += 1
+        return 0
+
+    def snd_pcm_close(self, pcm):
+        self.closed += 1
+        return 0
+
+
+def test_alsa_device_write_path_and_xrun_recovery():
+    fake = FakeAlsa(fail_at_write=2)
+    dev = AlsaDevice(lib=fake)
+    cfg = DeviceConfig(channels=2, sample_rate=48000)
+    blk = np.zeros(1024 * 2, np.float32)
+    dev.write(blk, cfg)
+    dev.write(blk, cfg)   # hits the injected EPIPE, recovers, retries
+    dev.write(blk, cfg)
+    dev.close()
+    assert fake.opened == [(b"default", 0)]
+    assert fake.params == (14, 3, 2, 48000, 100000)  # f32le interleaved
+    assert dev.xruns == 1 and fake.recovered == [-32]
+    assert sum(fake.writes) == 3 * 1024
+    assert fake.drained == 1 and fake.closed == 1
+
+
+def test_alsa_device_through_sink():
+    """The backend drives through MixerDeviceSink.render_blocks like any
+    other device."""
+    from rodio_tpu.control.player import Player
+    from rodio_tpu.sources.generators import SineWave
+
+    fake = FakeAlsa(fail_at_write=0)
+    sink = MixerDeviceSink(AlsaDevice(lib=fake),
+                           DeviceConfig(buffer_frames=256))
+    player = Player.connect_new(sink.mixer())
+    player.append(SineWave(440.0))
+    sink.render_blocks(4)
+    sink.close()
+    assert sum(fake.writes) == 4 * 256
+    assert fake.closed == 1
+
+
+def test_alsa_capture_feeds_microphone():
+    from rodio_tpu.io.microphone import Microphone, MicrophoneConfig
+
+    fake = FakeAlsa(capture_blocks=6)
+    mic = Microphone(MicrophoneConfig(channels=1, sample_rate=48000))
+    cap = AlsaCapture(mic, period_frames=256, lib=fake)
+    cap.start()
+    assert fake.opened == [(b"default", 1)]  # capture stream
+    block, ok = mic.next_block(512, timeout=2.0)
+    cap.close()
+    assert ok and block.shape == (1, 512)
+    np.testing.assert_allclose(block, 0.25)
+
+
+def test_open_default_sink_backend_selection():
+    """With no sound hardware the default sink stays the null device;
+    with ALSA available it would be AlsaDevice (probe is host-gated)."""
+    sink = DeviceSinkBuilder.open_default_sink()
+    try:
+        if available():
+            from rodio_tpu.io.alsa import AlsaDevice as _A
+
+            assert isinstance(sink._backend, _A)
+        else:
+            assert isinstance(sink._backend, NullDevice)
+    finally:
+        sink.close()
+
+
+def test_realtime_soak_zero_xruns():
+    """Soak: ~1.5 s of realtime-paced playback through the device layer;
+    every block must meet its delivery deadline (zero xruns) and the
+    BlockTimer cadence must match the device rate."""
+    from rodio_tpu.control.player import Player
+    from rodio_tpu.sources.generators import SineWave
+    from rodio_tpu.utils.trace import BlockTimer
+
+    cfg = DeviceConfig(buffer_frames=2048)  # ~42 ms blocks @48k
+    sink = MixerDeviceSink(NullDevice(), cfg)
+    player = Player.connect_new(sink.mixer())
+    player.append(SineWave(440.0))
+
+    timer = BlockTimer(sample_rate=cfg.sample_rate,
+                       block_frames=cfg.buffer_frames)
+    n_blocks = 36  # ~1.5 s
+    deadline = cfg.buffer_frames / cfg.sample_rate
+    # warm the compile outside the timed region
+    sink.render_blocks(1)
+    xruns = 0
+    for _ in range(n_blocks):
+        with timer.block():
+            sink.render_blocks(1)
+        if timer.times[-1] > 2.0 * deadline:
+            xruns += 1
+    sink.close()
+    stats = timer.stats()
+    assert stats["blocks"] == n_blocks
+    assert xruns == 0, f"{xruns} blocks missed the realtime deadline"
+    # the null device paces at realtime: mean cadence ~= the deadline
+    assert 0.5 * deadline < stats["mean_ms"] / 1e3 < 1.5 * deadline
