@@ -21,6 +21,13 @@ Layers (mirroring SURVEY.md's layer map):
 - :mod:`rodio_tpu.refimpl`     — scalar semantic oracle (tests only)
 """
 
+from .core.errors import (
+    PlayError,
+    RodioTpuError,
+    SeekError,
+    SeekNotSupported,
+    StreamError,
+)
 from .core.types import DEFAULT_SAMPLE_RATE, StreamSpec, set_float64
 
 __version__ = "0.1.0"

@@ -275,8 +275,12 @@ class Player:
         return 0.0
 
     def try_seek(self, pos: float) -> None:
-        """Seek within the current sound. Rebuilds the source state at the
-        target position (the block engine's states are recomputable)."""
+        """Seek within the current sound. Rebuilds the source state at
+        the target position (O(pre-roll), graph/seek.py). On failure
+        raises :class:`rodio_tpu.SeekError`; when ``source_intact`` is
+        True the sound keeps playing from its pre-seek position —
+        nothing is modified before the new state is fully built
+        (src/source/mod.rs:797-809)."""
         cur = self.queue_rx.current
         if cur is None:
             return
@@ -285,9 +289,10 @@ class Player:
         if seek is None:
             from ..graph.seek import seek_state
 
-            cur["state"] = seek_state(node, pos)
+            new_state = seek_state(node, pos)
         else:
-            cur["state"] = seek(pos)
+            new_state = seek(pos)
+        cur["state"] = new_state
         cur["leftover"] = None
         cur["ended"] = False
 

@@ -76,6 +76,13 @@ def seek_state(node: Node, seconds: float, *, step_frames: int = 8192,
         return node.init_state()
 
     chain, source = _innermost(node)
+    if getattr(source, "LIVE", False):
+        from ..core.errors import SeekNotSupported
+
+        # live inputs (microphone rings, push ports, streaming feeds)
+        # have no past to seek into — SeekError::NotSupported with the
+        # source intact (src/source/mod.rs:797-809)
+        raise SeekNotSupported(type(source).__name__)
     src_seek = getattr(source, "seek_state", None)
     if src_seek is not None:
         warm = min(int(pre_roll * rate), target)

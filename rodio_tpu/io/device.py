@@ -253,9 +253,14 @@ def play(sink: MixerDeviceSink, source_or_path):
     if isinstance(source_or_path, Node):
         node = source_or_path
     else:
+        from ..core.errors import PlayError
         from .decoder import Decoder
 
-        node = Decoder(source_or_path)
+        try:
+            node = Decoder(source_or_path)
+        except Exception as e:
+            # src/play.rs PlayError::DecoderError
+            raise PlayError(f"cannot decode {source_or_path!r}: {e}") from e
     player = Player.connect_new(sink.mixer())
     player.append(node)
     return player

@@ -184,6 +184,8 @@ class PushPort:
     """
 
     RANDOM_ACCESS = True
+    #: live input: no seekable past (core/errors.py SeekNotSupported)
+    LIVE = True
 
     def __init__(self, channels: int, sample_rate: int, capacity: int,
                  push_frames: int):

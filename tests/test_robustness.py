@@ -150,3 +150,42 @@ def test_flac_malicious_partition_order():
         assert np.all(np.isfinite(out))
     except (DecoderError, ValueError):
         pass
+
+
+def test_seek_error_taxonomy_live_source_intact():
+    """SeekError.source_intact (src/source/mod.rs:797-809): seeking a
+    live input fails with NotSupported and the stream keeps playing."""
+    import jax.numpy as jnp
+    import pytest
+
+    from rodio_tpu import SeekError, SeekNotSupported
+    from rodio_tpu.graph.seek import seek_state
+    from rodio_tpu.io.streaming import PushPort
+
+    port = PushPort(2, 48000, capacity=64, push_frames=16)
+    with pytest.raises(SeekNotSupported) as exc:
+        seek_state(port, 5.0)
+    assert exc.value.source_intact is True
+    assert isinstance(exc.value, SeekError)
+    # the port still works after the failed seek
+    st = port.init_state()
+    st = port.push(st, jnp.ones((2, 16)), 16)
+    st, out, valid = port.emit(st, 8)
+    assert int(valid) == 8
+
+
+def test_play_error_on_undecodable_path(tmp_path):
+    """src/play.rs PlayError::DecoderError surfaces as a typed error."""
+    import pytest
+
+    from rodio_tpu import PlayError
+    from rodio_tpu.io.device import DeviceSinkBuilder, play
+
+    bad = tmp_path / "not_audio.xyz"
+    bad.write_bytes(b"this is not audio at all")
+    sink = DeviceSinkBuilder().open()
+    try:
+        with pytest.raises(PlayError):
+            play(sink, str(bad))
+    finally:
+        sink.close()
