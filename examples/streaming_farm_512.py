@@ -14,8 +14,11 @@ so the farm can run for HOURS at the same footprint:
 
 Usage:  python examples/streaming_farm_512.py [seconds] [n_streams]
 
-Prints aggregate realtime multiple, host RSS and device HBM in use —
-both stay flat regardless of duration.
+Prints aggregate realtime multiple, host RSS and device HBM in use.
+The farm's own memory is constant (bounded FIFOs both sides). NOTE: on
+the axon-tunnel machine this was built on, host RSS still grows ~1 MB
+per MB pushed — that is a transport defect (a bare device_put loop of
+one reused 1 MB array leaks 1 MB/iteration there), not the farm.
 """
 import os
 import resource

@@ -83,6 +83,8 @@ class FusedWidePipeline(Node):
             # + exact 3-way bf16 split of the PCM); needs weights <= 256
             precision = "int3" if self.to <= 256 else "highest"
         self.precision = precision
+        #: boundary-frame folding (padding-row g1 term); int-piece only
+        self.bfold = precision in ("int3", "int2")
         # reuse the resampler's constant lerp operator
         self._rs = Resample(input_node, to_rate)
         ap = blt_coefficients(kind, to_rate, freq, q)
@@ -181,11 +183,20 @@ class FusedWidePipeline(Node):
             )
             data_t = data_t * g[None, :]
         nc = data_t.shape[0] // fr
-        fr_p = -(-fr // 16) * 16
+        # one guaranteed zero-padding row past fr: the BOUNDARY FRAME
+        # (first frame of the next chunk) rides there, so the kernel's
+        # single int-piece dot computes the whole lerp including the g1
+        # term (g1*to is integer-exact in bf16) — no rank-1 xnext pass
+        fr_p = -(-(fr + 1) // 16) * 16
         chunks = jnp.pad(
             data_t[: nc * fr].reshape(nc, fr, self._lanes),
             ((0, 0), (0, fr_p - fr), (0, 0)),
         )
+        boundary = jnp.concatenate(
+            [data_t[fr::fr][: nc - 1], jnp.zeros((1, self._lanes),
+                                                 data_t.dtype)], axis=0
+        )  # [nc, LANES]: first frame of chunk j+1 (zero past the end)
+        chunks = chunks.at[:, fr, :].set(boundary)
         if self.precision in ("int3", "int2"):
             # exact bf16 piece split: 3 pieces reproduce all 24 f32
             # mantissa bits bitwise; 2 pieces ("int2") drop the last
@@ -262,6 +273,7 @@ class FusedWidePipeline(Node):
                 state["ring"], fr=fr, to=to, m=m,
                 precision=self.precision, lookahead=self.lookahead,
                 agc_params=self._agc_params, lag=self._lag,
+                bfold=self.bfold,
                 interpret=interpret,
             )
             extra = {"agc": agc_new, "ring": ring_new}
@@ -271,6 +283,7 @@ class FusedWidePipeline(Node):
                 self.coeffs, state["bq"], fr=fr, to=to, m=m,
                 precision=self.precision, lookahead=self.lookahead,
                 subblk=self.subblk, binary_mix=True,
+                bfold=self.bfold,
                 interpret=interpret,
             )
         out = mix8[: self.spec.channels, :]

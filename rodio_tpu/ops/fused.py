@@ -79,13 +79,13 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                   carry, xraw, x_scr, y_scr, sems, corr_scr,
                   *, m: int, to: int, precision, int3: bool,
                   lookahead: int = 1, subblk: int = 0,
-                  binary_mix: bool = False):
+                  binary_mix: bool = False, bfold: bool = False):
     _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 mixt_ref, state_ref, out_ref, out_state_ref,
                 carry, xraw, x_scr, y_scr, sems,
                 m=m, to=to, precision=precision, int3=int3,
                 lookahead=lookahead, subblk=subblk, binary_mix=binary_mix,
-                ab_ref=ab_ref, corr_scr=corr_scr)
+                bfold=bfold, ab_ref=ab_ref, corr_scr=corr_scr)
 
 
 def _fused_agc_kernel(c0_ref, k0_ref, c_ref, chunks_ref, xn_ref, g0t_ref,
@@ -94,7 +94,8 @@ def _fused_agc_kernel(c0_ref, k0_ref, c_ref, chunks_ref, xn_ref, g0t_ref,
                       carry, xraw, x_scr, y_scr, sems,
                       agc_carry, old_scr, sq_scr, rsems, wsems,
                       *, m: int, to: int, precision, int3: bool,
-                      lookahead: int, agc: tuple, rs_slots: int, lag: int):
+                      lookahead: int, agc: tuple, rs_slots: int, lag: int,
+                      bfold: bool = False):
     """AGC-bearing variant: adds the per-stream AGC stage between the
     biquad and the mix (src/source/agc.rs:397-496, decomposed form), with
     the 8192-interleaved-sample RMS window kept as an HBM ring of squared
@@ -109,6 +110,7 @@ def _fused_agc_kernel(c0_ref, k0_ref, c_ref, chunks_ref, xn_ref, g0t_ref,
                 carry, xraw, x_scr, y_scr, sems,
                 m=m, to=to, precision=precision, int3=int3,
                 lookahead=lookahead,
+                bfold=bfold,
                 agc=agc, k0_ref=k0_ref, agc_ref=agc_ref, ring_ref=ring_ref,
                 out_agc_ref=out_agc_ref, agc_carry=agc_carry,
                 old_scr=old_scr, sq_scr=sq_scr, rsems=rsems, wsems=wsems,
@@ -121,7 +123,8 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 carry, xraw, x_scr, y_scr, sems,
                 *, m: int, to: int, precision, int3: bool,
                 lookahead: int = 1, subblk: int = 0,
-                binary_mix: bool = False, ab_ref=None, corr_scr=None,
+                binary_mix: bool = False, bfold: bool = False,
+                ab_ref=None, corr_scr=None,
                 agc=None, k0_ref=None, agc_ref=None, ring_ref=None,
                 out_agc_ref=None, agc_carry=None, old_scr=None,
                 sq_scr=None, rsems=None, wsems=None,
@@ -231,14 +234,18 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
         xnk = xn_ref[pl.ds(t_idx * m + k, 1), :]       # [1, LANES]
         if int3:
             # exact single-pass bf16 matmul: g0t is the integer-scaled
-            # lerp operator tiled 3x along the contraction axis, xraw
-            # holds the PCM split into three exact bf16 pieces stacked
-            # the same way, so ONE dot computes the summed pieces with
+            # lerp operator tiled npc-x along the contraction axis, xraw
+            # holds the PCM split into exact bf16 pieces stacked the
+            # same way, so ONE dot computes the summed pieces with
             # every product exact; the f32 lerp is reproduced up to one
-            # final 1/to scale rounding
+            # final 1/to scale rounding. With bfold the boundary frame
+            # rides a padding row, so the dot includes the g1 term too.
             acc = jnp.dot(g0t_ref[...], xraw[slot, k],
                           preferred_element_type=out_dt)
-            yk = acc * (1.0 / to) + g1col * xnk
+            if bfold:
+                yk = acc * (1.0 / to)
+            else:
+                yk = acc * (1.0 / to) + g1col * xnk
         else:
             xk = xraw[slot, k]                         # [fr_p, LANES]
             yk = jnp.dot(g0t, xk, preferred_element_type=out_dt,
@@ -514,7 +521,8 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
 
 def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
              *, fr: int, to: int, m: int, precision: str, lookahead: int,
-             subblk: int = 0, binary_mix: bool = False):
+             subblk: int = 0, binary_mix: bool = False,
+             bfold: bool = False):
     """Shared host-side prep: int3 weight/piece layout, look-ahead biquad
     coefficient rows (or blocked-IIR homogeneous responses), packed SMEM
     vectors, state packing."""
@@ -575,9 +583,17 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
                 jnp.rint(jnp.asarray(g0, dt) * to).astype(jnp.bfloat16).T,
                 ((0, 0), (0, fr_p - fr)),
             )
+            if bfold:
+                assert fr_p > fr, "bfold needs an int-piece padding row"
+                # boundary frame lives in padding row fr of each chunk;
+                # its weight column is the (integer-exact) g1 * to
+                g1w = g1w.at[:, fr].set(
+                    jnp.rint(jnp.asarray(g1, dt) * to).astype(jnp.bfloat16)
+                )
             g0t = jnp.concatenate([g1w] * npc, axis=1)
             chunks = chunks.reshape(Nc, npc * fr_p, LANES)
         else:
+            assert not bfold, "bfold requires an int-piece layout"
             g0t = jnp.pad(jnp.asarray(g0, dt).T, ((0, 0), (0, fr_p - fr)))
         mixt = mixmat.T
         if binary_mix:
@@ -589,7 +605,7 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
                 "int2": jax.lax.Precision.DEFAULT}[precision]
         return dict(int3=int3, fr_p=fr_p, K=K, dt=dt, st=st, g1p=g1p, c=c,
                     c0=c0, g0t=g0t, mixt=mixt, prec=prec, chunks=chunks,
-                    n_t=K // m, ab=ab, n_corr=CP, npc=npc)
+                    n_t=K // m, ab=ab, n_corr=CP, npc=npc, bfold=bfold)
     # look-ahead coefficient rows: y[t+k] = b0 x[t+k] + row_k . basis with
     # basis = (x[t+LA-2], ..., x[t], x[t-1], x[t-2], y[t-1], y[t-2]),
     # derived by unrolling the recurrence into itself. Row k has k+4
@@ -633,9 +649,18 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
             jnp.rint(jnp.asarray(g0, dt) * to).astype(jnp.bfloat16).T,
             ((0, 0), (0, fr_p - fr)),
         )
+        if bfold:
+            assert fr_p > fr, "bfold needs an int-piece padding row"
+            # boundary frame lives in padding row fr of each chunk; its
+            # weight column is the (integer-exact) g1 * to — the single
+            # dot then computes the WHOLE lerp, no rank-1 xnext pass
+            g1w = g1w.at[:, fr].set(
+                jnp.rint(jnp.asarray(g1, dt) * to).astype(jnp.bfloat16)
+            )
         g0t = jnp.concatenate([g1w] * npc, axis=1)      # [to, npc*fr_p]
         chunks = chunks.reshape(Nc, npc * fr_p, LANES)
     else:
+        assert not bfold, "bfold requires an int-piece layout"
         g0t = jnp.pad(jnp.asarray(g0, dt).T, ((0, 0), (0, fr_p - fr)))
     mixt = mixmat.T
     if binary_mix:
@@ -648,7 +673,8 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
             "int2": jax.lax.Precision.DEFAULT}[precision]
     return dict(int3=int3, fr_p=fr_p, K=K, dt=dt, st=st, g1p=g1p, c=c,
                 c0=c0, g0t=g0t, mixt=mixt, prec=prec, chunks=chunks,
-                n_t=K // m, ab=jnp.zeros((mto, 2), dt), n_corr=2, npc=npc)
+                n_t=K // m, ab=jnp.zeros((mto, 2), dt), n_corr=2, npc=npc,
+                bfold=bfold)
 
 
 def _common_in_specs(P, mem, K):
@@ -679,7 +705,7 @@ def _common_scratch(P, m, to):
 @functools.partial(
     jax.jit,
     static_argnames=("fr", "to", "m", "interpret", "precision", "lookahead",
-                     "subblk", "binary_mix", "coeffs"),
+                     "subblk", "binary_mix", "bfold", "coeffs"),
 )
 def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
                               bq_state, *, fr: int, to: int, m: int = 2,
@@ -687,6 +713,7 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
                               lookahead: int = 2,
                               subblk: int = 0,
                               binary_mix: bool = False,
+                              bfold: bool = False,
                               interpret: bool = False):
     """Fused pipeline over one block, reading straight from the chunked
     buffer.
@@ -708,7 +735,7 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
     """
     P = _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
                  fr=fr, to=to, m=m, precision=precision, lookahead=lookahead,
-                 subblk=subblk, binary_mix=binary_mix)
+                 subblk=subblk, binary_mix=binary_mix, bfold=bfold)
     n_t = P["n_t"]
     dt = P["dt"]
     mem = pltpu.ANY if interpret else pltpu.VMEM
@@ -718,7 +745,8 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
     out3, out_state = pl.pallas_call(
         functools.partial(_fused_kernel, m=m, to=to, precision=P["prec"],
                           int3=P["int3"], lookahead=lookahead,
-                          subblk=subblk, binary_mix=binary_mix),
+                          subblk=subblk, binary_mix=binary_mix,
+                          bfold=P["bfold"]),
         grid=(n_t,),
         in_specs=in_specs,
         out_specs=(
@@ -745,7 +773,7 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
 @functools.partial(
     jax.jit,
     static_argnames=("fr", "to", "m", "interpret", "precision", "lookahead",
-                     "agc_params", "lag"),
+                     "agc_params", "lag", "bfold"),
     donate_argnames=("ring",),
 )
 def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
@@ -755,6 +783,7 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
                                   lookahead: int = 2,
                                   agc_params: tuple,
                                   lag: int,
+                                  bfold: bool = False,
                                   interpret: bool = False):
     """AGC-bearing fused pipeline (see _fused_agc_kernel).
 
@@ -772,7 +801,8 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
     Returns (mix [8, K*to], bq_state', agc_state' [12,128], ring').
     """
     P = _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
-                 fr=fr, to=to, m=m, precision=precision, lookahead=lookahead)
+                 fr=fr, to=to, m=m, precision=precision, lookahead=lookahead,
+                 bfold=bfold)
     n_t = P["n_t"]
     dt = P["dt"]
     mto = m * to
@@ -794,7 +824,7 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
         functools.partial(
             _fused_agc_kernel, m=m, to=to, precision=P["prec"],
             int3=P["int3"], lookahead=lookahead, agc=agc_params,
-            rs_slots=rs_slots, lag=lag,
+            rs_slots=rs_slots, lag=lag, bfold=P["bfold"],
         ),
         grid=(n_t,),
         in_specs=in_specs,
