@@ -79,9 +79,13 @@ class FusedWidePipeline(Node):
         self.m = m
         self.lookahead = lookahead
         if precision == "auto":
-            # int3: exact single-pass bf16 dots (integer-scaled weights
-            # + exact 3-way bf16 split of the PCM); needs weights <= 256
-            precision = "int3" if self.to <= 256 else "highest"
+            # int3: exact bf16 dots (integer-scaled weights + exact
+            # 3-way bf16 split of the PCM); weights <= 256 ride one
+            # dot, bigger ratios split the operator as 4*hi + lo
+            # (ops/fused.py wsplit) up to to = 1024
+            precision = "int3" if self.to <= 1024 else "highest"
+        if precision in ("int3", "int2") and self.to > 320:
+            self.m = 1  # VMEM budget for large-`to` grids
         self.precision = precision
         #: boundary-frame folding (padding-row g1 term); int-piece only
         self.bfold = precision in ("int3", "int2")

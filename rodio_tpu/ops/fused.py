@@ -79,13 +79,15 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                   carry, xraw, x_scr, y_scr, sems, corr_scr,
                   *, m: int, to: int, precision, int3: bool,
                   lookahead: int = 1, subblk: int = 0,
-                  binary_mix: bool = False, bfold: bool = False):
+                  binary_mix: bool = False, bfold: bool = False,
+                  wsplit: bool = False):
     _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 mixt_ref, state_ref, out_ref, out_state_ref,
                 carry, xraw, x_scr, y_scr, sems,
                 m=m, to=to, precision=precision, int3=int3,
                 lookahead=lookahead, subblk=subblk, binary_mix=binary_mix,
-                bfold=bfold, ab_ref=ab_ref, corr_scr=corr_scr)
+                bfold=bfold, wsplit=wsplit, ab_ref=ab_ref,
+                corr_scr=corr_scr)
 
 
 def _fused_agc_kernel(c0_ref, k0_ref, c_ref, chunks_ref, xn_ref, g0t_ref,
@@ -95,7 +97,7 @@ def _fused_agc_kernel(c0_ref, k0_ref, c_ref, chunks_ref, xn_ref, g0t_ref,
                       agc_carry, old_scr, sq_scr, rsems, wsems,
                       *, m: int, to: int, precision, int3: bool,
                       lookahead: int, agc: tuple, rs_slots: int, lag: int,
-                      bfold: bool = False):
+                      bfold: bool = False, wsplit: bool = False):
     """AGC-bearing variant: adds the per-stream AGC stage between the
     biquad and the mix (src/source/agc.rs:397-496, decomposed form), with
     the 8192-interleaved-sample RMS window kept as an HBM ring of squared
@@ -110,7 +112,7 @@ def _fused_agc_kernel(c0_ref, k0_ref, c_ref, chunks_ref, xn_ref, g0t_ref,
                 carry, xraw, x_scr, y_scr, sems,
                 m=m, to=to, precision=precision, int3=int3,
                 lookahead=lookahead,
-                bfold=bfold,
+                bfold=bfold, wsplit=wsplit,
                 agc=agc, k0_ref=k0_ref, agc_ref=agc_ref, ring_ref=ring_ref,
                 out_agc_ref=out_agc_ref, agc_carry=agc_carry,
                 old_scr=old_scr, sq_scr=sq_scr, rsems=rsems, wsems=wsems,
@@ -124,6 +126,7 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 *, m: int, to: int, precision, int3: bool,
                 lookahead: int = 1, subblk: int = 0,
                 binary_mix: bool = False, bfold: bool = False,
+                wsplit: bool = False,
                 ab_ref=None, corr_scr=None,
                 agc=None, k0_ref=None, agc_ref=None, ring_ref=None,
                 out_agc_ref=None, agc_carry=None, old_scr=None,
@@ -240,8 +243,13 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
             # every product exact; the f32 lerp is reproduced up to one
             # final 1/to scale rounding. With bfold the boundary frame
             # rides a padding row, so the dot includes the g1 term too.
+            # wsplit (to > 256): the integer operator is stacked as
+            # [w_hi; w_lo] with w = 4*hi + lo, both halves bf16-exact;
+            # the recombine is two array ops over the chunk.
             acc = jnp.dot(g0t_ref[...], xraw[slot, k],
                           preferred_element_type=out_dt)
+            if wsplit:
+                acc = 4.0 * acc[:to] + acc[to:]
             if bfold:
                 yk = acc * (1.0 / to)
             else:
@@ -530,11 +538,18 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
     if int3:
         Nc, npc, fr_p, _ = chunks.shape
         assert npc in (2, 3) and chunks.dtype == jnp.bfloat16
-        assert to <= 256, "int-piece path requires integer weights <= 256"
+        assert to <= 1024, "int-piece path requires integer weights <= 1024"
         assert m <= 2, "int-piece with m > 2 exceeds the 16MB VMEM budget"
+        # weights <= 256 are bf16-exact directly; above that the integer
+        # operator splits as w = 4*hi + lo (hi <= to/4 <= 256, lo <= 3,
+        # both exact) and the kernel recombines the two accumulator
+        # halves — the exact single-pass trick at ANY rational ratio
+        wsplit = to > 256
+        assert not wsplit or m * to <= 1280, "to > 256 needs m = 1"
     else:
         Nc, fr_p, _ = chunks.shape
         npc = 1
+        wsplit = False
     assert fr_p >= fr and fr_p % 16 == 0
     K = xn_t.shape[0]
     assert xn_t.shape == (K, LANES) and K % m == 0
@@ -579,17 +594,24 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
         ab = jnp.asarray(ab, dt)
         c0 = jnp.asarray(c0, jnp.int32).reshape(1)
         if int3:
-            g1w = jnp.pad(
-                jnp.rint(jnp.asarray(g0, dt) * to).astype(jnp.bfloat16).T,
-                ((0, 0), (0, fr_p - fr)),
-            )
+            wint = jnp.rint(jnp.asarray(g0, dt) * to).T        # [to, fr]
             if bfold:
                 assert fr_p > fr, "bfold needs an int-piece padding row"
-                # boundary frame lives in padding row fr of each chunk;
-                # its weight column is the (integer-exact) g1 * to
-                g1w = g1w.at[:, fr].set(
-                    jnp.rint(jnp.asarray(g1, dt) * to).astype(jnp.bfloat16)
-                )
+                # boundary frame lives in padding row fr of each chunk; its
+                # weight column is the (integer-exact) g1 * to
+                wint = jnp.pad(wint, ((0, 0), (0, fr_p - fr)))
+                wint = wint.at[:, fr].set(jnp.rint(jnp.asarray(g1, dt) * to))
+            else:
+                wint = jnp.pad(wint, ((0, 0), (0, fr_p - fr)))
+            if wsplit:
+                w_hi = jnp.floor(wint / 4.0)
+                w_lo = wint - 4.0 * w_hi
+                g1w = jnp.concatenate(
+                    [w_hi.astype(jnp.bfloat16), w_lo.astype(jnp.bfloat16)],
+                    axis=0,
+                )                                             # [2*to, fr_p]
+            else:
+                g1w = wint.astype(jnp.bfloat16)
             g0t = jnp.concatenate([g1w] * npc, axis=1)
             chunks = chunks.reshape(Nc, npc * fr_p, LANES)
         else:
@@ -605,7 +627,8 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
                 "int2": jax.lax.Precision.DEFAULT}[precision]
         return dict(int3=int3, fr_p=fr_p, K=K, dt=dt, st=st, g1p=g1p, c=c,
                     c0=c0, g0t=g0t, mixt=mixt, prec=prec, chunks=chunks,
-                    n_t=K // m, ab=ab, n_corr=CP, npc=npc, bfold=bfold)
+                    n_t=K // m, ab=ab, n_corr=CP, npc=npc, bfold=bfold,
+                    wsplit=wsplit)
     # look-ahead coefficient rows: y[t+k] = b0 x[t+k] + row_k . basis with
     # basis = (x[t+LA-2], ..., x[t], x[t-1], x[t-2], y[t-1], y[t-2]),
     # derived by unrolling the recurrence into itself. Row k has k+4
@@ -643,21 +666,28 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
     c0 = jnp.asarray(c0, jnp.int32).reshape(1)
     if int3:
         # integer-scaled lerp weights: g0*to has entries in [0, to],
-        # exactly representable in bf16 for to <= 256; tiled npc-x along
-        # the contraction axis to match the stacked bf16 pieces
-        g1w = jnp.pad(
-            jnp.rint(jnp.asarray(g0, dt) * to).astype(jnp.bfloat16).T,
-            ((0, 0), (0, fr_p - fr)),
-        )
+        # exactly representable in bf16 for to <= 256 (split 4*hi+lo
+        # above that); tiled npc-x along the contraction axis to match
+        # the stacked bf16 pieces
+        wint = jnp.rint(jnp.asarray(g0, dt) * to).T        # [to, fr]
         if bfold:
             assert fr_p > fr, "bfold needs an int-piece padding row"
             # boundary frame lives in padding row fr of each chunk; its
-            # weight column is the (integer-exact) g1 * to — the single
-            # dot then computes the WHOLE lerp, no rank-1 xnext pass
-            g1w = g1w.at[:, fr].set(
-                jnp.rint(jnp.asarray(g1, dt) * to).astype(jnp.bfloat16)
-            )
-        g0t = jnp.concatenate([g1w] * npc, axis=1)      # [to, npc*fr_p]
+            # weight column is the (integer-exact) g1 * to
+            wint = jnp.pad(wint, ((0, 0), (0, fr_p - fr)))
+            wint = wint.at[:, fr].set(jnp.rint(jnp.asarray(g1, dt) * to))
+        else:
+            wint = jnp.pad(wint, ((0, 0), (0, fr_p - fr)))
+        if wsplit:
+            w_hi = jnp.floor(wint / 4.0)
+            w_lo = wint - 4.0 * w_hi
+            g1w = jnp.concatenate(
+                [w_hi.astype(jnp.bfloat16), w_lo.astype(jnp.bfloat16)],
+                axis=0,
+            )                                             # [2*to, fr_p]
+        else:
+            g1w = wint.astype(jnp.bfloat16)
+        g0t = jnp.concatenate([g1w] * npc, axis=1)
         chunks = chunks.reshape(Nc, npc * fr_p, LANES)
     else:
         assert not bfold, "bfold requires an int-piece layout"
@@ -674,7 +704,7 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
     return dict(int3=int3, fr_p=fr_p, K=K, dt=dt, st=st, g1p=g1p, c=c,
                 c0=c0, g0t=g0t, mixt=mixt, prec=prec, chunks=chunks,
                 n_t=K // m, ab=jnp.zeros((mto, 2), dt), n_corr=2, npc=npc,
-                bfold=bfold)
+                bfold=bfold, wsplit=wsplit)
 
 
 def _common_in_specs(P, mem, K):
@@ -746,7 +776,7 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
         functools.partial(_fused_kernel, m=m, to=to, precision=P["prec"],
                           int3=P["int3"], lookahead=lookahead,
                           subblk=subblk, binary_mix=binary_mix,
-                          bfold=P["bfold"]),
+                          bfold=P["bfold"], wsplit=P["wsplit"]),
         grid=(n_t,),
         in_specs=in_specs,
         out_specs=(
@@ -825,6 +855,7 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
             _fused_agc_kernel, m=m, to=to, precision=P["prec"],
             int3=P["int3"], lookahead=lookahead, agc=agc_params,
             rs_slots=rs_slots, lag=lag, bfold=P["bfold"],
+            wsplit=P["wsplit"],
         ),
         grid=(n_t,),
         in_specs=in_specs,

@@ -245,3 +245,29 @@ def test_fused_int2_pieces_match(rng):
         su, ou, vu = eu(su)
         np.testing.assert_allclose(np.asarray(of), np.asarray(ou),
                                    atol=5e-7)
+
+
+def test_fused_wsplit_large_ratio_matches_unfused(rng):
+    """44.1k -> 192k (to = 640 > 256): the split-integer weight path
+    (w = 4*hi + lo, both bf16-exact) matches the unfused HIGHEST chain
+    at the same tolerance class as the <=256 int path."""
+    S, C, frames = 4, 2, 44100
+    wide = (rng.standard_normal((S * C, frames)) * 0.1).astype(np.float32)
+    gains = rng.uniform(0.5, 1.5, S).astype(np.float32) / S
+    fused = FusedWidePipeline(
+        SamplesBuffer(S * C, 44100, wide), 192000, gains, S,
+    )
+    assert fused.precision == "int3" and fused.to == 640 and fused.m == 1
+    ch = Resample(SamplesBuffer(S * C, 44100, wide), 192000)
+    ch = BltFilter(ch, "low_pass", 2000.0, 0.5, mode="exact")
+    ch = Amplify(ch, np.repeat(gains, C))
+    ch = WideMixer(ch, S)
+    sf, su = fused.init_state(), ch.init_state()
+    ef = jax.jit(lambda s: fused.emit(s, 1280))
+    eu = jax.jit(lambda s: ch.emit(s, 1280))
+    for _ in range(3):
+        sf, of, vf = ef(sf)
+        su, ou, vu = eu(su)
+        assert int(vf) == int(vu) == 1280
+        np.testing.assert_allclose(np.asarray(of), np.asarray(ou),
+                                   atol=5e-7)
