@@ -289,9 +289,21 @@ class Player:
         if seek is None:
             from ..graph.seek import seek_state
 
+            vs = getattr(node, "varispeed", None)
+            if vs is not None:
+                # the position mapping and the rebuilt state must both
+                # reflect the LIVE speed, not the append-time one
+                vs.ratio0 = self._speed
             new_state = seek_state(node, pos)
         else:
             new_state = seek(pos)
+        # carry the live control knobs across the rebuilt state (the
+        # reference's wrappers keep their shared Controls through seeks)
+        old_state = cur["state"]
+        if isinstance(new_state, dict) and isinstance(old_state, dict):
+            for k in ("volume", "paused", "stopped"):
+                if k in old_state and k in new_state:
+                    new_state[k] = old_state[k]
         cur["state"] = new_state
         cur["leftover"] = None
         cur["ended"] = False

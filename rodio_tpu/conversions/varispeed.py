@@ -105,6 +105,10 @@ class VariSpeed(Node):
         c = self.spec.channels
         ratio = state["ratio"]
         frac = state["frac"]
+        # pull size scales with THIS block (n is static per trace): a
+        # small player block must not pay the max_block worst case in
+        # upstream work every emit
+        P = min(self.P, int(math.ceil(n * self.max_ratio)) + 4)
 
         # conditional pull (static size, committed only when needed)
         i_idx = jnp.arange(n, dtype=jnp.int32)
@@ -114,18 +118,18 @@ class VariSpeed(Node):
         not_ended = state["in_end"] == _BIG
         need = (last_need + 1) > state["fill"]
         do_pull = need & not_ended
-        in2, xblk, v_in = self.input.emit(state["in"], self.P)
+        in2, xblk, v_in = self.input.emit(state["in"], P)
         in_new = _tree_select(do_pull, in2, state["in"])
         fill = state["fill"]
-        pos_w = jnp.where(do_pull, fill + jnp.arange(self.P, dtype=jnp.int32),
+        pos_w = jnp.where(do_pull, fill + jnp.arange(P, dtype=jnp.int32),
                           self.R + 1)
         ring = state["ring"].at[:, pos_w].set(xblk, mode="drop")
-        in_pulled = jnp.where(do_pull, state["in_pulled"] + self.P,
+        in_pulled = jnp.where(do_pull, state["in_pulled"] + P,
                               state["in_pulled"])
-        ended_now = do_pull & (v_in < self.P)
+        ended_now = do_pull & (v_in < P)
         in_end = jnp.where(ended_now & not_ended,
                            state["in_pulled"] + v_in, state["in_end"])
-        fill = jnp.where(do_pull, fill + self.P, fill)
+        fill = jnp.where(do_pull, fill + P, fill)
 
         # two-point lerp (sample_rate.rs:158-173 semantics; frac == 0 is
         # bit-transparent: x + (r - x) * 0 == x)
@@ -149,7 +153,7 @@ class VariSpeed(Node):
         shift = jnp.minimum(jnp.floor(total).astype(jnp.int32), fill)
         frac_new = total - shift.astype(dt)
         ext = jnp.concatenate(
-            [ring, jnp.zeros((c, self.P), dtype=dt)], axis=1
+            [ring, jnp.zeros((c, P), dtype=dt)], axis=1
         )
         ring_new = jax.lax.dynamic_slice(
             ext, (jnp.int32(0), shift), (c, self.R)

@@ -103,12 +103,27 @@ class AutomaticGainControl(Node):
 
     def set_attack_time(self, state: State, seconds: float) -> State:
         # agc.rs set_attack_time -- coefficient synthesized host-side in
-        # the reference f32 form, applied from the next block
+        # the reference f32 form, applied from the next block. The
+        # Pallas kernel modes bake the coefficients as static params
+        # (SMEM packing at trace time), so live retiming requires the
+        # scan modes; failing loudly beats silently ignoring the knob.
+        if self.mode not in ("exact", "parallel"):
+            raise NotImplementedError(
+                "live attack/release requires mode='exact' or "
+                "'parallel'; the Pallas kernels bake the coefficients "
+                f"statically (mode={self.mode!r})"
+            )
         nanos = min(duration_to_nanos(seconds), 10_000_000_000)
         c = duration_to_coefficient(0, self.spec.sample_rate, nanos=nanos)
         return {**state, "att": jnp.asarray(c, dtype=float_dtype())}
 
     def set_release_time(self, state: State, seconds: float) -> State:
+        if self.mode not in ("exact", "parallel"):
+            raise NotImplementedError(
+                "live attack/release requires mode='exact' or "
+                "'parallel'; the Pallas kernels bake the coefficients "
+                f"statically (mode={self.mode!r})"
+            )
         nanos = min(duration_to_nanos(seconds), 10_000_000_000)
         c = duration_to_coefficient(0, self.spec.sample_rate, nanos=nanos)
         return {**state, "rel": jnp.asarray(c, dtype=float_dtype())}

@@ -38,13 +38,29 @@ def _innermost(node: Node):
 def _source_seconds(chain, seconds: float) -> float:
     """Map output-timeline seconds to source-timeline seconds through
     rate-changing wrappers (the reference's per-wrapper try_seek
-    position scaling, e.g. src/source/speed.rs:141-144)."""
+    position scaling, e.g. src/source/speed.rs:141-144). VariSpeed uses
+    its construction ratio; a caller tracking a LIVE ratio (the Player)
+    syncs ``ratio0`` before seeking."""
+    from ..conversions.varispeed import VariSpeed
     from ..effects.basic import Speed
 
     for w in chain:
         if isinstance(w, Speed):
             seconds *= w.factor
+        elif isinstance(w, VariSpeed):
+            seconds *= w.ratio0
     return seconds
+
+
+def _chain_block_cap(chain, source, step_frames: int) -> int:
+    """Largest replay block every node in the chain accepts (ring-based
+    nodes assert n <= max_block)."""
+    cap = step_frames
+    for w in list(chain) + [source]:
+        mb = getattr(w, "max_block", None)
+        if isinstance(mb, int) and 0 < mb < cap:
+            cap = mb
+    return cap
 
 
 def _replace_deepest(state, keys, new_sub):
@@ -76,6 +92,7 @@ def seek_state(node: Node, seconds: float, *, step_frames: int = 8192,
         return node.init_state()
 
     chain, source = _innermost(node)
+    step_frames = _chain_block_cap(chain, source, step_frames)
     if getattr(source, "LIVE", False):
         from ..core.errors import SeekNotSupported
 

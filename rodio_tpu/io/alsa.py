@@ -27,6 +27,7 @@ from typing import Optional
 
 import numpy as np
 
+from ..core.errors import StreamError
 from .device import DeviceConfig, _Backend
 
 SND_PCM_STREAM_PLAYBACK = 0
@@ -88,7 +89,7 @@ class AlsaDevice(_Backend):
                  lib=None):
         self._lib = lib if lib is not None else _load()
         if self._lib is None:
-            raise RuntimeError(f"libasound unavailable: {_lib_err}")
+            raise StreamError(f"libasound unavailable: {_lib_err}")
         self._pcm = ctypes.c_void_p()
         self._device = device.encode()
         self._opened = False
@@ -101,7 +102,7 @@ class AlsaDevice(_Backend):
             SND_PCM_STREAM_PLAYBACK, 0,
         )
         if rc < 0:
-            raise RuntimeError(f"snd_pcm_open failed ({rc})")
+            raise StreamError(f"snd_pcm_open failed ({rc})")
         rc = self._lib.snd_pcm_set_params(
             self._pcm, SND_PCM_FORMAT_FLOAT_LE,
             SND_PCM_ACCESS_RW_INTERLEAVED, config.channels,
@@ -109,7 +110,7 @@ class AlsaDevice(_Backend):
         )
         if rc < 0:
             self._lib.snd_pcm_close(self._pcm)
-            raise RuntimeError(f"snd_pcm_set_params failed ({rc})")
+            raise StreamError(f"snd_pcm_set_params failed ({rc})")
         self._opened = True
 
     def write(self, interleaved: np.ndarray, config: DeviceConfig) -> None:
@@ -130,12 +131,12 @@ class AlsaDevice(_Backend):
                 self.xruns += 1
                 rc = self._lib.snd_pcm_recover(self._pcm, int(n), 1)
                 if rc < 0:
-                    raise RuntimeError(f"xrun recovery failed ({rc})")
+                    raise StreamError(f"xrun recovery failed ({rc})")
                 continue
             if n < 0:
                 rc = self._lib.snd_pcm_recover(self._pcm, int(n), 1)
                 if rc < 0:
-                    raise RuntimeError(f"snd_pcm_writei failed ({n})")
+                    raise StreamError(f"snd_pcm_writei failed ({n})")
                 continue
             off += int(n)
 
@@ -157,7 +158,7 @@ class AlsaCapture:
                  lib=None):
         self._lib = lib if lib is not None else _load()
         if self._lib is None:
-            raise RuntimeError(f"libasound unavailable: {_lib_err}")
+            raise StreamError(f"libasound unavailable: {_lib_err}")
         self.mic = microphone
         self._device = device.encode()
         self._period = int(period_frames)
@@ -173,7 +174,7 @@ class AlsaCapture:
             SND_PCM_STREAM_CAPTURE, 0,
         )
         if rc < 0:
-            raise RuntimeError(f"snd_pcm_open(capture) failed ({rc})")
+            raise StreamError(f"snd_pcm_open(capture) failed ({rc})")
         rc = self._lib.snd_pcm_set_params(
             self._pcm, SND_PCM_FORMAT_FLOAT_LE,
             SND_PCM_ACCESS_RW_INTERLEAVED, spec.channels,
@@ -181,7 +182,7 @@ class AlsaCapture:
         )
         if rc < 0:
             self._lib.snd_pcm_close(self._pcm)
-            raise RuntimeError(f"snd_pcm_set_params(capture) failed ({rc})")
+            raise StreamError(f"snd_pcm_set_params(capture) failed ({rc})")
         self._running = True
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()

@@ -161,7 +161,9 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
 
     mto = m * to
     if agc is not None:
-        k = k0_ref[0] + t_idx
+        # global grid-step index for the sq-history ring (NOTE: must not
+        # be shadowed — the resample loop below iterates `k` over chunks)
+        gstep = k0_ref[0] + t_idx
 
         @pl.when(t_idx == 0)
         def _load_agc_state():
@@ -175,14 +177,14 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
         q_off = lag // mto
         row_a = (q_off + 1) * mto - lag     # first row within slot A
         len_a = mto - row_a
-        slot_a = jax.lax.rem(k - (q_off + 1) + 2 * rs_slots, rs_slots)
+        slot_a = jax.lax.rem(gstep - (q_off + 1) + 2 * rs_slots, rs_slots)
         cp_a = pltpu.make_async_copy(
             ring_ref.at[slot_a, pl.ds(row_a, len_a)],
             old_scr.at[pl.ds(0, len_a)], rsems.at[0],
         )
         cp_a.start()
         if row_a:
-            slot_b = jax.lax.rem(k - q_off + 2 * rs_slots, rs_slots)
+            slot_b = jax.lax.rem(gstep - q_off + 2 * rs_slots, rs_slots)
             cp_b = pltpu.make_async_copy(
                 ring_ref.at[slot_b, pl.ds(0, row_a)],
                 old_scr.at[pl.ds(len_a, row_a)], rsems.at[1],
@@ -197,7 +199,7 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
         def _wait_prev_write():
             pltpu.make_async_copy(
                 sq_scr.at[wslot],
-                ring_ref.at[jax.lax.rem(k - 2, rs_slots)],
+                ring_ref.at[jax.lax.rem(gstep - 2, rs_slots)],
                 wsems.at[wslot],
             ).wait()
 
@@ -448,7 +450,8 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
 
         # publish this step's squares into the ring
         wcp = pltpu.make_async_copy(
-            sq_scr.at[wslot], ring_ref.at[jax.lax.rem(k, rs_slots)],
+            sq_scr.at[wslot],
+            ring_ref.at[jax.lax.rem(gstep, rs_slots)],
             wsems.at[wslot],
         )
         wcp.start()
@@ -463,7 +466,8 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
             def _():
                 pltpu.make_async_copy(
                     sq_scr.at[jax.lax.rem(t_idx + 1, 2)],
-                    ring_ref.at[jax.lax.rem(k - 1 + rs_slots, rs_slots)],
+                    ring_ref.at[jax.lax.rem(gstep - 1 + rs_slots,
+                                             rs_slots)],
                     wsems.at[jax.lax.rem(t_idx + 1, 2)],
                 ).wait()
 

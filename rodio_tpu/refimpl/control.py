@@ -257,6 +257,10 @@ class Player:
             if controls.to_clear > 0:
                 src.input.skip()
                 controls.to_clear -= 1
+                # skip_one already discounted this sound from the
+                # visible count (player.rs:299-306) — mark it so the
+                # Done callback does not discount it a second time
+                src._rtpu_discounted = True
             controls.position_secs = track_pos.get_pos_secs()
             amp.set_factor(controls.volume)
             pausable.set_paused(controls.pause)
@@ -273,8 +277,9 @@ class Player:
 
         def on_done(_inner):
             # natural end only: skipped/cleared sounds were already
-            # discounted by skip_one (player.rs:299-306)
-            if controls.to_clear == 0:
+            # discounted by skip_one (player.rs:299-306); the periodic
+            # controller tags them before they drain
+            if not getattr(_inner, "_rtpu_discounted", False):
                 player.sound_count = max(0, player.sound_count - 1)
 
         wrapped = PeriodicAccess(Done(stack, on_done), self.PERIODIC_NS, access)
@@ -306,10 +311,10 @@ class Player:
         self.controls.stopped = True
 
     def skip_one(self):
-        # the reference decrements the visible count IMMEDIATELY
-        # (src/player.rs:299-306), before the periodic controller
-        # actually skips the sound
-        if self.sound_count > len(self.queue_tx.next_sounds):
+        # the reference decrements the visible count IMMEDIATELY and
+        # queues a clear only while count > pending clears
+        # (src/player.rs:299-306)
+        if self.sound_count > self.controls.to_clear:
             self.controls.to_clear += 1
         self.sound_count = max(0, self.sound_count - 1)
 

@@ -271,3 +271,31 @@ def test_fused_wsplit_large_ratio_matches_unfused(rng):
         assert int(vf) == int(vu) == 1280
         np.testing.assert_allclose(np.asarray(of), np.asarray(ou),
                                    atol=5e-7)
+
+
+def test_fused_agc_rms_limited_quiet_content(rng):
+    """Quiet program material keeps the AGC in the RMS-limited regime
+    (desired = target*rsqrt(ms)), which exercises the sq-history ring's
+    old-window subtraction across slot rotation — the regime a ring
+    mis-indexing bug leaves untested (peak-limited content masks it)."""
+    S = 8
+    rng2 = np.random.default_rng(11)
+    quiet_pcm = (rng2.standard_normal((2, 44100 * 3)) * 0.004).astype(
+        np.float32
+    )
+    node_f, sf = make_flagship(S, seconds=2.5, seed=5, scan_mode="fused",
+                               with_agc=True, max_block=1920,
+                               source_pcm=quiet_pcm)
+    node_u, su = make_flagship(S, seconds=2.5, seed=5, scan_mode="exact",
+                               with_agc=True, max_block=1920,
+                               source_pcm=quiet_pcm)
+    ef = jax.jit(lambda s: node_f.emit(s, 640))
+    eu = jax.jit(lambda s: node_u.emit(s, 640))
+    # 14 blocks x 640 = 8960 frames: the 4096-frame lag ring rotates
+    # through all its slots more than twice
+    for blk in range(14):
+        sf, of, vf = ef(sf)
+        su, ou, vu = eu(su)
+        assert int(vf) == int(vu) == 640
+        np.testing.assert_allclose(np.asarray(of), np.asarray(ou),
+                                   atol=5e-7, err_msg=f"block {blk}")

@@ -201,3 +201,50 @@ def test_player_speed_appended_sound_live(rng):
     assert player.queue_rx.current["step"] is step_before
     blk, alive = player.queue_rx.next_block(256)
     assert alive and np.max(np.abs(blk)) > 0
+
+
+def test_player_set_speed_late_in_long_sound(rng):
+    """Regression: the first set_speed re-plan seeks the new chain to the
+    current position; the replay must respect the VariSpeed stage's
+    max_block (it used to assert after ~2048 frames of playback)."""
+    from rodio_tpu.control.mixer import Mixer
+    from rodio_tpu.control.player import Player
+
+    mixer = Mixer(2, 48000)
+    player = Player.connect_new(mixer, block_frames=256)
+    player.append(SineWave(440.0))
+    for _ in range(40):  # ~10k frames, far past 8*block_frames
+        player.queue_rx.next_block(256)
+    player.set_speed(1.5)  # must not raise
+    blk, alive = player.queue_rx.next_block(256)
+    assert alive and np.max(np.abs(blk)) > 0
+
+
+def test_player_try_seek_keeps_live_speed(rng):
+    """Regression: try_seek on a speed-changed chain must land at
+    source-position pos * live_speed AND keep the live ratio (it used
+    to crash on max_block, then would have reverted the ratio)."""
+    from rodio_tpu.control.mixer import Mixer
+    from rodio_tpu.control.player import Player
+    from rodio_tpu.sources.generators import SamplesBuffer
+
+    rate = 48000
+    t = np.arange(rate * 30, dtype=np.float32)
+    ramp = np.stack([t, t]) / rate  # value == source seconds
+    mixer = Mixer(2, rate)
+    player = Player.connect_new(mixer, block_frames=256)
+    player.append(SamplesBuffer(2, rate, ramp))
+    player.queue_rx.next_block(256)
+    player.set_speed(1.5)   # re-plan inserts VariSpeed
+    player.set_speed(2.0)   # live update
+    player.try_seek(5.0)    # output seconds -> source 10.0 s
+    blk, alive = player.queue_rx.next_block(256)
+    assert alive
+    # first samples ~= 10.0 (source seconds at the seek target, up to
+    # the pre-roll warmup's rounding and resampler latency)
+    v0 = float(blk[0, 8])
+    assert 9.8 < v0 < 10.4, v0
+    # ratio survived: the block advances ~2 source seconds per output
+    # second (slope = 2 within the block)
+    slope = (float(blk[0, 200]) - float(blk[0, 8])) / ((200 - 8) / rate)
+    assert 1.7 < slope < 2.3, slope
