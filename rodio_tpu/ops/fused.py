@@ -563,6 +563,9 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
     g1p = jnp.zeros((to, 8), dt).at[:, 0].set(g1)
     b0, b1, b2, a1, a2 = (jnp.asarray(v, dt) for v in coeffs)
     mto = m * to
+
+    # -- biquad SMEM constants: either the blocked-IIR homogeneous
+    # responses (subblk) or the scattered look-ahead coefficient rows --
     if subblk:
         # blocked-IIR constants: homogeneous responses of the recurrence
         # y[t] = -a1 y[t-1] - a2 y[t-2] to unit boundary values —
@@ -572,8 +575,7 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
         L = subblk
         G = mto // L
         assert G <= 8, "interleave depth capped at 8 chains"
-        _b0, _a1, _a2 = (np.float32(coeffs[0]), np.float32(coeffs[3]),
-                         np.float32(coeffs[4]))
+        _a1, _a2 = np.float32(coeffs[3]), np.float32(coeffs[4])
         alpha = np.zeros(L, np.float32)
         beta = np.zeros(L, np.float32)
         pa1, pa2 = np.float32(1.0), np.float32(0.0)   # y[-1], y[-2]
@@ -586,102 +588,66 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
         packed = [b0, b1, b2, a1, a2,
                   jnp.asarray(alpha[L - 1], dt), jnp.asarray(alpha[L - 2], dt),
                   jnp.asarray(beta[L - 1], dt), jnp.asarray(beta[L - 2], dt)]
-        n_smem = -(-len(packed) // 8) * 8
-        c = jnp.stack(packed + [jnp.zeros((), dt)] * (n_smem - len(packed)))
         # AB[g*L + t, 2(g-1)] = alpha[t], AB[g*L + t, 2(g-1)+1] = beta[t]
         # for g >= 1 (chain 0 is seeded with the true carry)
         CP = max(2 * (G - 1), 2)
-        ab = np.zeros((mto, CP), np.float32)
+        ab_np = np.zeros((mto, CP), np.float32)
         for g in range(1, G):
-            ab[g * L : (g + 1) * L, 2 * (g - 1)] = alpha
-            ab[g * L : (g + 1) * L, 2 * (g - 1) + 1] = beta
-        ab = jnp.asarray(ab, dt)
-        c0 = jnp.asarray(c0, jnp.int32).reshape(1)
-        if int3:
-            wint = jnp.rint(jnp.asarray(g0, dt) * to).T        # [to, fr]
-            if bfold:
-                assert fr_p > fr, "bfold needs an int-piece padding row"
-                # boundary frame lives in padding row fr of each chunk; its
-                # weight column is the (integer-exact) g1 * to
-                wint = jnp.pad(wint, ((0, 0), (0, fr_p - fr)))
-                wint = wint.at[:, fr].set(jnp.rint(jnp.asarray(g1, dt) * to))
-            else:
-                wint = jnp.pad(wint, ((0, 0), (0, fr_p - fr)))
-            if wsplit:
-                w_hi = jnp.floor(wint / 4.0)
-                w_lo = wint - 4.0 * w_hi
-                g1w = jnp.concatenate(
-                    [w_hi.astype(jnp.bfloat16), w_lo.astype(jnp.bfloat16)],
-                    axis=0,
-                )                                             # [2*to, fr_p]
-            else:
-                g1w = wint.astype(jnp.bfloat16)
-            g0t = jnp.concatenate([g1w] * npc, axis=1)
-            chunks = chunks.reshape(Nc, npc * fr_p, LANES)
-        else:
-            assert not bfold, "bfold requires an int-piece layout"
-            g0t = jnp.pad(jnp.asarray(g0, dt).T, ((0, 0), (0, fr_p - fr)))
-        mixt = mixmat.T
-        if binary_mix:
-            mixt = mixt.astype(jnp.bfloat16)
-        prec = {"highest": jax.lax.Precision.HIGHEST,
-                "high": jax.lax.Precision.HIGH,
-                "default": jax.lax.Precision.DEFAULT,
-                "int3": jax.lax.Precision.DEFAULT,
-                "int2": jax.lax.Precision.DEFAULT}[precision]
-        return dict(int3=int3, fr_p=fr_p, K=K, dt=dt, st=st, g1p=g1p, c=c,
-                    c0=c0, g0t=g0t, mixt=mixt, prec=prec, chunks=chunks,
-                    n_t=K // m, ab=ab, n_corr=CP, npc=npc, bfold=bfold,
-                    wsplit=wsplit)
-    # look-ahead coefficient rows: y[t+k] = b0 x[t+k] + row_k . basis with
-    # basis = (x[t+LA-2], ..., x[t], x[t-1], x[t-2], y[t-1], y[t-2]),
-    # derived by unrolling the recurrence into itself. Row k has k+4
-    # meaningful coefficients (x[t+k-1..t], x1, x2, y1, y2).
-    LA = max(lookahead, 2)
-    W = LA + 3  # basis width
-    zero = jnp.zeros((), dt)
-    one = jnp.ones((), dt)
+            ab_np[g * L : (g + 1) * L, 2 * (g - 1)] = alpha
+            ab_np[g * L : (g + 1) * L, 2 * (g - 1) + 1] = beta
+        ab = jnp.asarray(ab_np, dt)
+    else:
+        # look-ahead coefficient rows: y[t+k] = b0 x[t+k] + row_k . basis
+        # with basis = (x[t+LA-2], ..., x[t], x[t-1], x[t-2], y[t-1],
+        # y[t-2]), derived by unrolling the recurrence into itself. Row k
+        # has k+4 meaningful coefficients (x[t+k-1..t], x1, x2, y1, y2).
+        LA = max(lookahead, 2)
+        W = LA + 3  # basis width
+        zero = jnp.zeros((), dt)
+        one = jnp.ones((), dt)
 
-    def x_unit(j):  # basis vector for x[t+j], j in [-2, LA-2]
-        v = [zero] * W
-        v[LA - 2 - j] = one
-        return v
+        def x_unit(j):  # basis vector for x[t+j], j in [-2, LA-2]
+            v = [zero] * W
+            v[LA - 2 - j] = one
+            return v
 
-    def madd(*pairs):
-        out = [zero] * W
-        for coef, vec in pairs:
-            out = [o + coef * e for o, e in zip(out, vec)]
-        return out
+        def madd(*pairs):
+            out = [zero] * W
+            for coef, vec in pairs:
+                out = [o + coef * e for o, e in zip(out, vec)]
+            return out
 
-    y_prev2 = [zero] * (W - 1) + [one]          # y[t-2]
-    y_prev1 = [zero] * (W - 2) + [one, zero]    # y[t-1]
-    packed = [b0, b1, b2, a1, a2]
-    for k in range(LA):
-        row = madd((b1, x_unit(k - 1)), (b2, x_unit(k - 2)),
-                   (-a1, y_prev1), (-a2, y_prev2))
-        if k >= 1:
-            # trim to the k+4 meaningful coefficients
-            packed.extend(row[W - 4 - k :])
-        y_full = madd((one, row), (b0, x_unit(k)))
-        y_prev2 = y_prev1
-        y_prev1 = y_full
+        y_prev2 = [zero] * (W - 1) + [one]          # y[t-2]
+        y_prev1 = [zero] * (W - 2) + [one, zero]    # y[t-1]
+        packed = [b0, b1, b2, a1, a2]
+        for k in range(LA):
+            row = madd((b1, x_unit(k - 1)), (b2, x_unit(k - 2)),
+                       (-a1, y_prev1), (-a2, y_prev2))
+            if k >= 1:
+                # trim to the k+4 meaningful coefficients
+                packed.extend(row[W - 4 - k :])
+            y_full = madd((one, row), (b0, x_unit(k)))
+            y_prev2 = y_prev1
+            y_prev1 = y_full
+        CP = 2
+        ab = jnp.zeros((mto, CP), dt)
     n_smem = -(-len(packed) // 8) * 8
-    c = jnp.stack(packed + [zero] * (n_smem - len(packed)))
+    c = jnp.stack(packed + [jnp.zeros((), dt)] * (n_smem - len(packed)))
     c0 = jnp.asarray(c0, jnp.int32).reshape(1)
+
+    # -- resample weight layout (shared by both biquad modes) --
     if int3:
         # integer-scaled lerp weights: g0*to has entries in [0, to],
         # exactly representable in bf16 for to <= 256 (split 4*hi+lo
         # above that); tiled npc-x along the contraction axis to match
         # the stacked bf16 pieces
         wint = jnp.rint(jnp.asarray(g0, dt) * to).T        # [to, fr]
+        wint = jnp.pad(wint, ((0, 0), (0, fr_p - fr)))
         if bfold:
             assert fr_p > fr, "bfold needs an int-piece padding row"
             # boundary frame lives in padding row fr of each chunk; its
             # weight column is the (integer-exact) g1 * to
-            wint = jnp.pad(wint, ((0, 0), (0, fr_p - fr)))
             wint = wint.at[:, fr].set(jnp.rint(jnp.asarray(g1, dt) * to))
-        else:
-            wint = jnp.pad(wint, ((0, 0), (0, fr_p - fr)))
         if wsplit:
             w_hi = jnp.floor(wint / 4.0)
             w_lo = wint - 4.0 * w_hi
@@ -707,7 +673,7 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
             "int2": jax.lax.Precision.DEFAULT}[precision]
     return dict(int3=int3, fr_p=fr_p, K=K, dt=dt, st=st, g1p=g1p, c=c,
                 c0=c0, g0t=g0t, mixt=mixt, prec=prec, chunks=chunks,
-                n_t=K // m, ab=jnp.zeros((mto, 2), dt), n_corr=2, npc=npc,
+                n_t=K // m, ab=ab, n_corr=CP, npc=npc,
                 bfold=bfold, wsplit=wsplit)
 
 
