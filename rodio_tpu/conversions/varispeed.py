@@ -23,6 +23,14 @@ of the rational chunk phase):
 
 At ratio exactly 1.0 the lerp fraction is identically zero and the node
 is bit-transparent.
+
+NOTE on the lerp gathers: the two `jnp.take` reads per block are a
+DOCUMENTED exception to the no-gathers-on-hot-paths convention
+(CLAUDE.md) — arbitrary runtime ratios have no closed-form chunk
+structure for the matmul-resampler pattern, and this node serves the
+per-sound live-control path (a few [C, n<=few-thousand] gathers per
+block), not the 512-wide farm hot path (which uses the static-ratio
+MXU resampler).
 """
 from __future__ import annotations
 

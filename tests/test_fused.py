@@ -299,3 +299,24 @@ def test_fused_agc_rms_limited_quiet_content(rng):
         assert int(vf) == int(vu) == 640
         np.testing.assert_allclose(np.asarray(of), np.asarray(ou),
                                    atol=5e-7, err_msg=f"block {blk}")
+
+
+def test_fused_wsplit_with_agc(rng):
+    """The split-integer weight path composes with the in-kernel AGC
+    (192 kHz AGC farm): parity vs the unfused exact chain."""
+    S = 4
+    node_f, sf = make_flagship(S, seconds=1.0, seed=9, scan_mode="fused",
+                               with_agc=True, out_rate=192000,
+                               max_block=2560)
+    node_u, su = make_flagship(S, seconds=1.0, seed=9, scan_mode="exact",
+                               with_agc=True, out_rate=192000,
+                               max_block=2560)
+    assert node_f.input.precision == "int3" and node_f.input.to == 640
+    ef = jax.jit(lambda s: node_f.emit(s, 1280))
+    eu = jax.jit(lambda s: node_u.emit(s, 1280))
+    for _ in range(4):
+        sf, of, vf = ef(sf)
+        su, ou, vu = eu(su)
+        assert int(vf) == int(vu) == 1280
+        np.testing.assert_allclose(np.asarray(of), np.asarray(ou),
+                                   atol=5e-7)
