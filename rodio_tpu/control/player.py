@@ -290,11 +290,10 @@ class Player:
             from ..graph.seek import seek_state
 
             vs = getattr(node, "varispeed", None)
-            if vs is not None:
-                # the position mapping and the rebuilt state must both
-                # reflect the LIVE speed, not the append-time one
-                vs.ratio0 = self._speed
-            new_state = seek_state(node, pos)
+            # the position mapping and the rebuilt state must both
+            # reflect the LIVE speed, not the append-time one
+            ratio = self._speed if vs is not None else None
+            new_state = seek_state(node, pos, varispeed_ratio=ratio)
         else:
             new_state = seek(pos)
         # carry the live control knobs across the rebuilt state (the

@@ -20,9 +20,12 @@ Sources without an O(1) seek fall back to full-prefix replay.
 """
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 from ..core.node import Node
+
+_log = logging.getLogger("rodio_tpu.seek")
 
 
 def _innermost(node: Node):
@@ -38,9 +41,11 @@ def _innermost(node: Node):
 def _source_seconds(chain, seconds: float) -> float:
     """Map output-timeline seconds to source-timeline seconds through
     rate-changing wrappers (the reference's per-wrapper try_seek
-    position scaling, e.g. src/source/speed.rs:141-144). VariSpeed uses
-    its construction ratio; a caller tracking a LIVE ratio (the Player)
-    syncs ``ratio0`` before seeking."""
+    position scaling, e.g. src/source/speed.rs:141-144). VariSpeed's
+    ratio is a TRACED state field its host attribute ``ratio0`` cannot
+    see change; a caller tracking a live ratio passes it to
+    ``seek_state(varispeed_ratio=...)``, which scopes it over this
+    mapping AND the state rebuild."""
     from ..conversions.varispeed import VariSpeed
     from ..effects.basic import Speed
 
@@ -78,11 +83,14 @@ def _replace_deepest(state, keys, new_sub):
 
 
 def seek_state(node: Node, seconds: float, *, step_frames: int = 8192,
-               pre_roll: float = 0.25):
+               pre_roll: float = 0.25,
+               varispeed_ratio: Optional[float] = None):
     """Return a state positioned at ``seconds`` (saturating at the end,
     matching the reference's saturation contract,
     src/source/mod.rs:739-742). O(pre_roll) when the chain's source has
-    an O(1) ``seek_state``; O(position) full replay otherwise."""
+    an O(1) ``seek_state``; O(position) full replay otherwise.
+    ``varispeed_ratio``: the live ratio of a VariSpeed stage in the
+    chain, if the caller has changed it since construction."""
     rate = node.spec.sample_rate
     target = int(seconds * rate)
     total = node.total_frames()
@@ -92,6 +100,22 @@ def seek_state(node: Node, seconds: float, *, step_frames: int = 8192,
         return node.init_state()
 
     chain, source = _innermost(node)
+    if varispeed_ratio is not None:
+        # scope the live ratio over BOTH the position mapping and the
+        # state rebuild (VariSpeed.init_state seeds its traced ratio
+        # field from ratio0) — restore the host attribute afterwards
+        from ..conversions.varispeed import VariSpeed
+
+        vs_nodes = [w for w in chain if isinstance(w, VariSpeed)]
+        saved = [w.ratio0 for w in vs_nodes]
+        for w in vs_nodes:
+            w.ratio0 = float(varispeed_ratio)
+        try:
+            return seek_state(node, seconds, step_frames=step_frames,
+                              pre_roll=pre_roll)
+        finally:
+            for w, r in zip(vs_nodes, saved):
+                w.ratio0 = r
     step_frames = _chain_block_cap(chain, source, step_frames)
     if getattr(source, "LIVE", False):
         from ..core.errors import SeekNotSupported
@@ -117,8 +141,19 @@ def seek_state(node: Node, seconds: float, *, step_frames: int = 8192,
                 done = False
             if done:
                 return _replay(node, state, warm, step_frames)
+            _log.warning(
+                "O(1) seek on %s produced a sub-state not found in the "
+                "chain state; falling back to O(position) full replay",
+                type(source).__name__,
+            )
         except Exception:
-            pass  # fall through to full replay
+            # a broken seek_state must not break seeking — but the
+            # degradation to O(position) replay is a performance cliff
+            # worth a visible signal (round-2 advisory)
+            _log.warning(
+                "O(1) seek on %s raised; falling back to O(position) "
+                "full replay", type(source).__name__, exc_info=True,
+            )
 
     return _replay(node, node.init_state(), target, step_frames)
 

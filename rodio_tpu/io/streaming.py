@@ -212,6 +212,7 @@ class PushPort:
             "base": jnp.zeros((), jnp.int32),
             "level": jnp.zeros((), jnp.int32),
             "overflow": jnp.asarray(False),
+            "underflow": jnp.asarray(False),
             "ended": jnp.asarray(False),
         }
 
@@ -299,8 +300,14 @@ class PushPort:
         out = mask_block(out, valid)
         buf = jnp.roll(state["buf"], -n, axis=1)
         level = jnp.maximum(state["level"] - n, 0)
+        # a live pull past the buffered level substitutes zeros — flag
+        # it (symmetric with ``overflow``) so hosts/tests can observe
+        # underruns instead of hearing silent dropouts
+        underflow = state["underflow"] | (
+            ~state["ended"] & (state["level"] < n)
+        )
         return {**state, "buf": buf, "base": state["base"] + n,
-                "level": level}, out, valid
+                "level": level, "underflow": underflow}, out, valid
 
 
 class StreamingDecoder(StreamingFeed):

@@ -206,3 +206,31 @@ def test_seek_pure_filter_chain_tight_parity(rng):
     sb, ob, vb = node.emit(s_full, 2048)
     assert int(va) == int(vb) == 2048
     np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=1e-5)
+
+
+def test_seek_varispeed_live_ratio_override(rng):
+    """seek_state(varispeed_ratio=) maps the target position through the
+    LIVE ratio and seeds the rebuilt state with it (round-2 advisory:
+    ratio0 is a host attribute the traced set_ratio path never updates,
+    so without the override any non-Player caller seeks through a stale
+    ratio)."""
+    from rodio_tpu.conversions.varispeed import VariSpeed
+    from rodio_tpu.sources.generators import SamplesBuffer
+
+    rate = 48000
+    data = (rng.standard_normal((1, rate * 4)) * 0.3).astype(np.float32)
+    node = VariSpeed(SamplesBuffer(1, rate, data), ratio=1.0,
+                     max_block=2048)
+    live = 2.0  # the ratio was changed at runtime via set_ratio
+
+    st = seek_state(node, 1.0, varispeed_ratio=live)
+    # the rebuilt state carries the live ratio, not ratio0
+    assert float(st["ratio"]) == live
+    # and the host attribute is restored (scoped override)
+    assert node.ratio0 == 1.0
+    _, out, valid = node.emit(st, 512)
+    # at ratio 2.0, output second 1.0 reads source around second 2.0
+    ref = data[0, 2 * rate : 2 * rate + 1024 : 2]
+    got = np.asarray(out[0, :512])
+    err = np.abs(got - ref[:512]).mean()
+    assert err < 0.05, f"seek landed at the wrong source position: {err}"
