@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,7 +58,7 @@ class FusedWidePipeline(Node):
                  n_streams: int, kind: str = "low_pass",
                  freq: float = 2000.0, q: float = 0.5, *, m: int = 2,
                  precision: str = "auto", lookahead: int = 4,
-                 subblk: int = 0,
+                 subblk: int = 0, firfold="auto",
                  with_agc: bool = False, agc_settings=None):
         assert getattr(input_node, "RANDOM_ACCESS", False) and hasattr(
             input_node, "slice_frames"
@@ -89,8 +90,21 @@ class FusedWidePipeline(Node):
         self.precision = precision
         #: boundary-frame folding (padding-row g1 term); int-piece only
         self.bfold = precision in ("int3", "int2")
+        if firfold == "auto":
+            # FIR-fold (u-form IIR + weight-folded FIR) measured SLOWER
+            # than look-ahead-4 on v5e (the 3x-stacked weight dot costs
+            # more than the serial-loop savings) — opt-in until a
+            # hardware generation where the MXU/VPU balance flips
+            firfold = False
+        self.firfold = bool(firfold)
+        if self.firfold:
+            assert self.bfold and self.to >= 2 and not subblk, (
+                "firfold requires the int-piece bfold layout, to >= 2, "
+                "and the look-ahead IIR plan"
+            )
         # reuse the resampler's constant lerp operator
         self._rs = Resample(input_node, to_rate)
+        self._kind, self._freq, self._q = kind, float(freq), float(q)
         ap = blt_coefficients(kind, to_rate, freq, q)
         self.coeffs = tuple(
             float(v) for v in (ap.b0, ap.b1, ap.b2, ap.a1, ap.a2)
@@ -226,6 +240,15 @@ class FusedWidePipeline(Node):
             "out_o": jnp.zeros((), dtype=jnp.int32),
             "drained": jnp.asarray(False),
             "bq": (z, z, z, z),
+            # biquad coefficients live in the STATE (the kernel takes
+            # them as data): retune() is a pure state update with zero
+            # re-trace, matching the node path (src/source/blt.rs:68-91).
+            # "op" holds the DERIVED operator (packed SMEM rows + the
+            # staged weight matrix), precomputed HERE so the per-block
+            # emit pays nothing for the liveness (deriving it inside the
+            # render scan measured ~25% slower blocks).
+            "coeffs": jnp.asarray(self.coeffs, dtype=dt),
+            "op": self._build_op(self.coeffs),
         }
         if self.with_agc:
             mto = self.m * self.to
@@ -234,7 +257,69 @@ class FusedWidePipeline(Node):
                 jnp.zeros((12, 128), dtype=dt).at[8:12].set(1.0)
             )
             state["ring"] = jnp.zeros((rs_slots, mto, 8, 128), dtype=dt)
+            state["agc_par"] = jnp.asarray(self._agc_params, dtype=dt)
         return state
+
+    def _build_op(self, coeffs):
+        """Host-side derivation of the kernel's coeff-dependent operator
+        (ops/fused.py:build_fused_operator) — once per knob change, so
+        blocks pay zero rebuild cost."""
+        from .ops.fused import build_fused_operator
+
+        fr = self.from_
+        fr_p = -(-(fr + 1) // 16) * 16
+        npc = {"int3": 3, "int2": 2}.get(self.precision, 1)
+        wsplit = (npc > 1) and self.to > 256 and not self.firfold
+        return build_fused_operator(
+            self._rs._G0, self._rs._g1, coeffs, fr=fr, to=self.to,
+            m=self.m, fr_p=fr_p, npc=npc, precision=self.precision,
+            lookahead=self.lookahead, subblk=self.subblk,
+            bfold=self.bfold, firfold=self.firfold, wsplit=wsplit,
+            dt=float_dtype(),
+            coeffs_static=self.coeffs if self.subblk else None,
+        )
+
+    def retune(self, state: State, kind: Optional[str] = None,
+               freq: Optional[float] = None,
+               q: Optional[float] = None) -> State:
+        """Live filter retune on the fused farm path: recompute the
+        biquad coefficients AND the derived operator host-side and swap
+        them into the state — the kernel reads both as data, so this is
+        zero re-trace (the reference's free to_low_pass knob,
+        src/source/blt.rs:68-91). Filter history (bq carries) persists
+        across the change, as the reference's does."""
+        kind = self._kind if kind is None else kind
+        freq = self._freq if freq is None else float(freq)
+        q = self._q if q is None else float(q)
+        ap = blt_coefficients(kind, self.spec.sample_rate, freq, q)
+        co = tuple(float(v) for v in (ap.b0, ap.b1, ap.b2, ap.a1, ap.a2))
+        return {**state,
+                "coeffs": jnp.asarray(co, dtype=float_dtype()),
+                "op": self._build_op(co)}
+
+    def set_agc_params(self, state: State, *, attack=None, release=None,
+                       target_level=None, absolute_max_gain=None) -> State:
+        """Live AGC knobs on the fused path (agc.rs set_attack_time /
+        set_release_time semantics): pure state update, zero re-trace."""
+        assert self.with_agc
+        from .core.math import duration_to_coefficient
+        from .core.types import duration_to_nanos
+
+        att, rel, tgt, mg, fl, invw = (float(v) for v in
+                                       np.asarray(state["agc_par"]))
+        rate = self.spec.sample_rate
+        if attack is not None:
+            ns = min(duration_to_nanos(attack), 10_000_000_000)
+            att = float(duration_to_coefficient(0, rate, nanos=ns))
+        if release is not None:
+            ns = min(duration_to_nanos(release), 10_000_000_000)
+            rel = float(duration_to_coefficient(0, rate, nanos=ns))
+        if target_level is not None:
+            tgt = float(np.float32(target_level))
+        if absolute_max_gain is not None:
+            mg = float(np.float32(absolute_max_gain))
+        return {**state, "agc_par": jnp.asarray(
+            (att, rel, tgt, mg, fl, invw), dtype=float_dtype())}
 
     def emit(self, state: State, n: int):
         import jax
@@ -273,21 +358,27 @@ class FusedWidePipeline(Node):
             k0 = o0 // jnp.int32(m * to)
             mix8, bq, agc_new, ring_new = fused_resample_biquad_agc_mix(
                 chunks, c0c, k0, xn_t, self._rs._G0, self._rs._g1,
-                self._mixmat, self.coeffs, state["bq"], state["agc"],
+                self._mixmat, tuple(state["coeffs"][i] for i in range(5)),
+                state["bq"], state["agc"],
                 state["ring"], fr=fr, to=to, m=m,
                 precision=self.precision, lookahead=self.lookahead,
-                agc_params=self._agc_params, lag=self._lag,
-                bfold=self.bfold,
+                agc_params=tuple(state["agc_par"][i] for i in range(6)),
+                lag=self._lag,
+                bfold=self.bfold, firfold=self.firfold,
+                op=state["op"],
                 interpret=interpret,
             )
             extra = {"agc": agc_new, "ring": ring_new}
         else:
             mix8, bq = fused_resample_biquad_mix(
                 chunks, c0c, xn_t, self._rs._G0, self._rs._g1, self._mixmat,
-                self.coeffs, state["bq"], fr=fr, to=to, m=m,
+                tuple(state["coeffs"][i] for i in range(5)),
+                state["bq"], fr=fr, to=to, m=m,
                 precision=self.precision, lookahead=self.lookahead,
                 subblk=self.subblk, binary_mix=True,
-                bfold=self.bfold,
+                bfold=self.bfold, firfold=self.firfold,
+                coeffs_static=self.coeffs if self.subblk else None,
+                op=state["op"],
                 interpret=interpret,
             )
         out = mix8[: self.spec.channels, :]
@@ -313,13 +404,245 @@ class FusedWidePipeline(Node):
         )
 
 
+class ChunkRingFeed:
+    """Device-resident ROLLING chunk ring: the live-feed counterpart of
+    FusedWidePipeline's init-time pre-chunking, so the streaming farm's
+    constant-memory path gets the fused mega-kernel instead of the
+    unfused chain (VERDICT r2 #3; replaces the pull cadence of
+    /root/reference/src/stream.rs:536-548 with a push ring).
+
+    Every steady push carries EXACTLY ``Kp`` chunks of frames (Kp*fr);
+    chunk j's boundary row (frame (j+1)*fr, the bfold padding-row g1
+    term) comes from the carried tail of the previous push, so pushes
+    stay chunk-aligned with STATIC shapes. The ring wraps modulo
+    ``ring_chunks`` (the kernel's ring_chunks DMA indexing); writes are
+    Kp-aligned and reads m-aligned, so neither straddles the seam.
+    """
+
+    #: live input: no seekable past
+    LIVE = True
+
+    def __init__(self, wide: int, in_rate: int, fr: int, Kp: int,
+                 ring_chunks: int, precision: str, per_lane_gain):
+        from .ops.fused import LANES
+
+        assert wide <= LANES
+        self.spec = StreamSpec(wide, in_rate)
+        self.fr = int(fr)
+        self.Kp = int(Kp)
+        self.ring_chunks = int(ring_chunks)
+        assert ring_chunks % Kp == 0
+        self.fr_p = -(-(fr + 1) // 16) * 16
+        assert precision in ("int3", "int2")
+        self.npc = 3 if precision == "int3" else 2
+        self._lanes = LANES
+        g = np.asarray(per_lane_gain, np.float32)
+        assert g.shape == (wide,)
+        self._gain = jnp.asarray(
+            np.pad(g, (0, LANES - wide), constant_values=1.0)
+        )
+
+    def total_frames(self):
+        return None
+
+    def init_state(self):
+        dt = float_dtype()
+        return {
+            "chunks": jnp.zeros(
+                (self.ring_chunks, self.npc, self.fr_p, self._lanes),
+                dtype=jnp.bfloat16,
+            ),
+            "w": jnp.zeros((), jnp.int32),       # chunks written (abs)
+            "carry": jnp.zeros((self.fr, self._lanes), dtype=dt),
+            "overflow": jnp.asarray(False),
+            "ended": jnp.asarray(False),
+        }
+
+    def push(self, state, block, *, prime: bool = False):
+        """Append one push. ``block``: [wide, (Kp+1)*fr] on the PRIME
+        push (chunks 0..Kp-1 plus the first carry), [wide, Kp*fr] on
+        steady pushes. Gains are folded into the PCM here (binary mix
+        matrix downstream). Pure jit-side function."""
+        fr, Kp, fr_p = self.fr, self.Kp, self.fr_p
+        L = self._lanes
+        T = (Kp + 1) * fr if prime else Kp * fr
+        assert block.shape[1] == T
+        dt = float_dtype()
+        bt = jnp.pad(
+            block.astype(dt), ((0, L - block.shape[0]), (0, 0))
+        ) * self._gain[:, None]
+        span = bt.T                                  # [T, LANES]
+        if not prime:
+            span = jnp.concatenate([state["carry"], span], axis=0)
+        # span rows [0, (Kp+1)*fr): chunks w..w+Kp-1 with boundaries
+        base = span[: Kp * fr].reshape(Kp, fr, L)
+        chunks = jnp.pad(base, ((0, 0), (0, fr_p - fr), (0, 0)))
+        bnd = span[fr :: fr][:Kp]                    # [Kp, LANES]
+        chunks = chunks.at[:, fr, :].set(bnd)
+        p1 = chunks.astype(jnp.bfloat16)
+        r = chunks - p1.astype(dt)
+        p2 = r.astype(jnp.bfloat16)
+        pieces = [p1, p2]
+        if self.npc == 3:
+            pieces.append((r - p2.astype(dt)).astype(jnp.bfloat16))
+        pk = jnp.stack(pieces, axis=1)  # [Kp, npc, fr_p, LANES]
+        slot = jax.lax.rem(state["w"], jnp.int32(self.ring_chunks))
+        ring = jax.lax.dynamic_update_slice(
+            state["chunks"], pk,
+            (slot, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        )
+        return {
+            **state,
+            "chunks": ring,
+            "w": state["w"] + Kp,
+            "carry": span[Kp * fr :],
+        }
+
+    def end(self, state):
+        return {**state, "ended": jnp.asarray(True)}
+
+
+class FusedFarmPipeline(Node):
+    """Resample + biquad + gain + stream-mix mega-kernel over a LIVE
+    chunk-ring feed (the streaming farm's device path). Mirrors
+    FusedWidePipeline but reads the rolling ring with modulo chunk
+    indexing; per-stream gains are folded at push time, so the mix is
+    the exact binary-split matmul. Coefficients live in the state
+    (live retune, zero re-trace)."""
+
+    def __init__(self, feed: ChunkRingFeed, to_rate: int, n_streams: int,
+                 kind: str = "low_pass", freq: float = 2000.0,
+                 q: float = 0.5, *, m: int = 2, lookahead: int = 4,
+                 firfold: bool = False):
+        import math
+
+        self.firfold = bool(firfold)
+
+        self.input = feed
+        wide = feed.spec.channels
+        assert wide % n_streams == 0
+        self.n_streams = n_streams
+        C = wide // n_streams
+        self.spec = StreamSpec(C, to_rate)
+        g = math.gcd(feed.spec.sample_rate, to_rate)
+        self.from_ = feed.spec.sample_rate // g
+        self.to = to_rate // g
+        assert self.from_ == feed.fr
+        assert self.from_ != self.to and self.to >= 2
+        self.m = m
+        self.lookahead = lookahead
+        self.precision = "int3" if feed.npc == 3 else "int2"
+        from .conversions.resample import Resample as _R
+
+        class _Spec:  # minimal shim for Resample's operator build
+            pass
+
+        # reuse the constant lerp operator from a throwaway Resample
+        src = _Spec()
+        src.spec = StreamSpec(wide, feed.spec.sample_rate)
+        src.input = None
+        self._rs = _R.__new__(_R)
+        self._rs.from_, self._rs.to = self.from_, self.to
+        self._rs.spec = StreamSpec(wide, to_rate)
+        _R._build_lerp_matrix(self._rs)
+        self._kind, self._freq, self._q = kind, float(freq), float(q)
+        if kind is None:
+            # no filter stage requested: identity biquad (b0=1)
+            self.coeffs = (1.0, 0.0, 0.0, 0.0, 0.0)
+        else:
+            ap = blt_coefficients(kind, to_rate, freq, q)
+            self.coeffs = tuple(
+                float(v) for v in (ap.b0, ap.b1, ap.b2, ap.a1, ap.a2)
+            )
+        from .ops.fused import LANES
+
+        M = np.zeros((8, LANES), dtype=np.float32)
+        for c in range(C):
+            M[c, c:wide:C] = 1.0
+        self._mixmat = jnp.asarray(M)
+        self._lanes = LANES
+
+    def total_frames(self) -> Optional[int]:
+        return None
+
+    def init_state(self) -> State:
+        dt = float_dtype()
+        z = jnp.zeros((self._lanes,), dtype=dt)
+        return {
+            "in": self.input.init_state(),
+            "out_o": jnp.zeros((), dtype=jnp.int32),
+            "bq": (z, z, z, z),
+            "coeffs": jnp.asarray(self.coeffs, dtype=dt),
+            "op": self._build_op(self.coeffs),
+        }
+
+    def _build_op(self, coeffs):
+        from .ops.fused import build_fused_operator
+
+        return build_fused_operator(
+            self._rs._G0, self._rs._g1, coeffs, fr=self.from_, to=self.to,
+            m=self.m, fr_p=self.input.fr_p, npc=self.input.npc,
+            precision=self.precision, lookahead=self.lookahead,
+            bfold=True, firfold=self.firfold, dt=float_dtype(),
+        )
+
+    def retune(self, state: State, kind: Optional[str] = None,
+               freq: Optional[float] = None,
+               q: Optional[float] = None) -> State:
+        """Zero-re-trace live retune (src/source/blt.rs:68-91)."""
+        kind = self._kind if kind is None else kind
+        freq = self._freq if freq is None else float(freq)
+        q = self._q if q is None else float(q)
+        ap = blt_coefficients(kind, self.spec.sample_rate, freq, q)
+        co = tuple(float(v) for v in (ap.b0, ap.b1, ap.b2, ap.a1, ap.a2))
+        return {**state, "coeffs": jnp.asarray(co, dtype=float_dtype()),
+                "op": self._build_op(co)}
+
+    def emit(self, state: State, n: int):
+        import jax as _jax
+
+        from .ops.fused import fused_resample_biquad_mix
+
+        fr, to, m = self.from_, self.to, self.m
+        assert n % (m * to) == 0
+        dt = float_dtype()
+        K = n // to
+        ins = state["in"]
+        o0 = state["out_o"]
+        c0 = o0 // to                   # absolute chunk index
+        # demand/overwrite guards become the feed's overflow flag: the
+        # block needs chunks [c0, c0+K) resident — neither unwritten nor
+        # already overwritten by newer pushes
+        Nc = self.input.ring_chunks
+        overflow = ins["overflow"] | (ins["w"] < c0 + K) | (
+            c0 < ins["w"] - Nc
+        )
+        xn_t = jnp.zeros((K, self._lanes), dtype=dt)  # bfold: unused
+        interpret = _jax.default_backend() != "tpu"
+        mix8, bq = fused_resample_biquad_mix(
+            ins["chunks"], c0, xn_t, self._rs._G0, self._rs._g1,
+            self._mixmat, tuple(state["coeffs"][i] for i in range(5)),
+            state["bq"], fr=fr, to=to, m=m,
+            precision=self.precision, lookahead=self.lookahead,
+            binary_mix=True, bfold=True, firfold=self.firfold,
+            ring_chunks=Nc, op=state["op"], interpret=interpret,
+        )
+        out = mix8[: self.spec.channels, :]
+        new_in = {**ins, "overflow": overflow}
+        return (
+            {**state, "in": new_in, "out_o": o0 + n, "bq": bq},
+            out.astype(dt),
+            jnp.asarray(n, jnp.int32),
+        )
+
+
 def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
                   in_rate: int = 44100, out_rate: int = 48000,
                   channels: int = 2, seed: int = 0,
                   scan_mode: str = "exact", with_agc: bool = False,
                   source_pcm: Optional[np.ndarray] = None,
                   max_block: int = 8192, lookahead: int = 4,
-                  precision: str = "auto"):
+                  precision: str = "auto", firfold="auto"):
     """Build (master_node, state) for the flagship pipeline.
 
     ``source_pcm``: optional [channels, frames] PCM at in_rate shared as the
@@ -355,6 +678,7 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
         fused = FusedWidePipeline(
             chain, out_rate, gains, n_streams, "low_pass", 2000.0, 0.5,
             with_agc=with_agc, lookahead=lookahead, precision=precision,
+            firfold=firfold,
         )
         master = Limit(fused, LimitSettings(), mode="auto")
         return master, master.init_state()

@@ -73,6 +73,18 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 1024  # 8 sublanes x 128 lanes = one f32 vreg per biquad time step
 
 
+def _tree_sum(terms):
+    # pairwise reduction: depth log2(n) instead of n — the serial loops
+    # are partly latency-bound, so the add-tree depth IS the cost
+    while len(terms) > 1:
+        nxt = [terms[i] + terms[i + 1]
+               for i in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
 def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                   mixt_ref, ab_ref, state_ref,
                   out_ref, out_state_ref,
@@ -80,24 +92,28 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                   *, m: int, to: int, precision, int3: bool,
                   lookahead: int = 1, subblk: int = 0,
                   binary_mix: bool = False, bfold: bool = False,
-                  wsplit: bool = False):
+                  wsplit: bool = False, firfold: bool = False,
+                  ring_chunks: int = 0):
     _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 mixt_ref, state_ref, out_ref, out_state_ref,
                 carry, xraw, x_scr, y_scr, sems,
                 m=m, to=to, precision=precision, int3=int3,
                 lookahead=lookahead, subblk=subblk, binary_mix=binary_mix,
-                bfold=bfold, wsplit=wsplit, ab_ref=ab_ref,
-                corr_scr=corr_scr)
+                bfold=bfold, wsplit=wsplit, firfold=firfold,
+                ring_chunks=ring_chunks,
+                ab_ref=ab_ref, corr_scr=corr_scr)
 
 
-def _fused_agc_kernel(c0_ref, k0_ref, c_ref, chunks_ref, xn_ref, g0t_ref,
-                      g1_ref, mixt_ref, state_ref, agc_ref, ring_in_ref,
+def _fused_agc_kernel(c0_ref, k0_ref, agcp_ref, c_ref, chunks_ref, xn_ref,
+                      g0t_ref, g1_ref, mixt_ref, state_ref, agc_ref,
+                      ring_in_ref,
                       out_ref, out_state_ref, out_agc_ref, ring_ref,
                       carry, xraw, x_scr, y_scr, sems,
                       agc_carry, old_scr, sq_scr, rsems, wsems,
                       *, m: int, to: int, precision, int3: bool,
-                      lookahead: int, agc: tuple, rs_slots: int, lag: int,
-                      bfold: bool = False, wsplit: bool = False):
+                      lookahead: int, rs_slots: int, lag: int,
+                      bfold: bool = False, wsplit: bool = False,
+                      firfold: bool = False, ring_chunks: int = 0):
     """AGC-bearing variant: adds the per-stream AGC stage between the
     biquad and the mix (src/source/agc.rs:397-496, decomposed form), with
     the 8192-interleaved-sample RMS window kept as an HBM ring of squared
@@ -112,8 +128,10 @@ def _fused_agc_kernel(c0_ref, k0_ref, c_ref, chunks_ref, xn_ref, g0t_ref,
                 carry, xraw, x_scr, y_scr, sems,
                 m=m, to=to, precision=precision, int3=int3,
                 lookahead=lookahead,
-                bfold=bfold, wsplit=wsplit,
-                agc=agc, k0_ref=k0_ref, agc_ref=agc_ref, ring_ref=ring_ref,
+                bfold=bfold, wsplit=wsplit, firfold=firfold,
+                ring_chunks=ring_chunks,
+                agc=True, agcp_ref=agcp_ref,
+                k0_ref=k0_ref, agc_ref=agc_ref, ring_ref=ring_ref,
                 out_agc_ref=out_agc_ref, agc_carry=agc_carry,
                 old_scr=old_scr, sq_scr=sq_scr, rsems=rsems, wsems=wsems,
                 rs_slots=rs_slots, lag=lag)
@@ -126,9 +144,11 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 *, m: int, to: int, precision, int3: bool,
                 lookahead: int = 1, subblk: int = 0,
                 binary_mix: bool = False, bfold: bool = False,
-                wsplit: bool = False,
+                wsplit: bool = False, firfold: bool = False,
+                ring_chunks: int = 0,
                 ab_ref=None, corr_scr=None,
-                agc=None, k0_ref=None, agc_ref=None, ring_ref=None,
+                agc=None, agcp_ref=None, k0_ref=None, agc_ref=None,
+                ring_ref=None,
                 out_agc_ref=None, agc_carry=None, old_scr=None,
                 sq_scr=None, rsems=None, wsems=None,
                 rs_slots: int = 0, lag: int = 0):
@@ -172,17 +192,24 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
         # old-window reads: the sq values leaving the 8192-interleaved
         # RMS ring this step = this kernel's own squared outputs from
         # `lag` frames ago, stored in the HBM ring `rs_slots` steps deep.
-        # lag is not a multiple of m*to, so the old block straddles two
-        # ring slots at a STATIC intra-slot offset (two fixed-shape DMAs).
+        # When lag is not a multiple of m*to the old block straddles two
+        # ring slots at a STATIC intra-slot offset (two fixed-shape
+        # DMAs); when lag % (m*to) == 0 (any power-of-two rate ratio)
+        # the old block IS one full slot and only the slot-B copy runs
+        # (row_a == mto, len_a == 0 — a zero-length slice would be out
+        # of bounds).
         q_off = lag // mto
         row_a = (q_off + 1) * mto - lag     # first row within slot A
         len_a = mto - row_a
-        slot_a = jax.lax.rem(gstep - (q_off + 1) + 2 * rs_slots, rs_slots)
-        cp_a = pltpu.make_async_copy(
-            ring_ref.at[slot_a, pl.ds(row_a, len_a)],
-            old_scr.at[pl.ds(0, len_a)], rsems.at[0],
-        )
-        cp_a.start()
+        if len_a:
+            slot_a = jax.lax.rem(
+                gstep - (q_off + 1) + 2 * rs_slots, rs_slots
+            )
+            cp_a = pltpu.make_async_copy(
+                ring_ref.at[slot_a, pl.ds(row_a, len_a)],
+                old_scr.at[pl.ds(0, len_a)], rsems.at[0],
+            )
+            cp_a.start()
         if row_a:
             slot_b = jax.lax.rem(gstep - q_off + 2 * rs_slots, rs_slots)
             cp_b = pltpu.make_async_copy(
@@ -206,10 +233,20 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
     # 1: pipelined chunk DMAs, 3 slots deep — step t's chunks land in slot
     # t%3 (issued 2 steps ahead); ONE combined [m, fr_p, LANES] copy per
     # step (separate per-chunk copies pay per-descriptor latency that
-    # caps effective HBM bandwidth well below peak)
+    # caps effective HBM bandwidth well below peak).
+    # ring_chunks > 0: the chunk buffer is a ROLLING ring (streaming-farm
+    # feed) — indices wrap modulo the ring size. The wrapper guarantees
+    # ring_chunks % m == 0 and c0 % m == 0, so one m-chunk DMA never
+    # straddles the wrap seam.
+    def _chunk_at(t):
+        idx = c0 + t * m
+        if ring_chunks:
+            idx = jax.lax.rem(idx, ring_chunks)
+        return idx
+
     def _start(t, slot):
         pltpu.make_async_copy(
-            chunks_ref.at[pl.ds(c0 + t * m, m)],
+            chunks_ref.at[pl.ds(_chunk_at(t), m)],
             xraw.at[slot], sems.at[slot],
         ).start()
 
@@ -232,10 +269,41 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
     g1col = g1_ref[:, 0:1]  # [to, 1]
     out_dt = x_scr.dtype
     pltpu.make_async_copy(
-        chunks_ref.at[pl.ds(c0 + t_idx * m, m)],
+        chunks_ref.at[pl.ds(_chunk_at(t_idx), m)],
         xraw.at[slot], sems.at[slot],
     ).wait()
-    for k in range(m):
+    if firfold:
+        # FIR-folded resample: one stacked dot per chunk yields
+        # u = FIR(resample(x)) (rows 0..to-1, summed over the three
+        # weight pieces) plus the two RAW resampled tail frames
+        # (rows to..to+1) that seed the next chunk's boundary fixup and
+        # the carried x-history state. Rows 0/1 of each chunk reference
+        # x[-1]/x[-2] from the PREVIOUS chunk, which the weight matrix
+        # cannot see — the fixup adds those carried-tail terms.
+        # Piece groups are padded to 8-row multiples (sublane-aligned
+        # accumulator slices).
+        to2 = -(-(to + 2) // 8) * 8
+        xp1 = carry[0]
+        xp2 = carry[1]
+        for k in range(m):
+            acc = jnp.dot(g0t_ref[...], xraw[slot, k],
+                          preferred_element_type=out_dt)
+            u = (acc[0:to] + acc[to2 : to2 + to]
+                 + acc[2 * to2 : 2 * to2 + to])
+            tl = (acc[to : to + 2] + acc[to2 + to : to2 + to + 2]
+                  + acc[2 * to2 + to : 2 * to2 + to + 2])
+            t3 = tl.reshape(2, 8, 128)
+            x_scr[k * to : (k + 1) * to] = u.reshape(to, 8, 128)
+            # row fixups as ref read-modify-writes (.at[].add would be a
+            # scatter-add, which Mosaic does not lower)
+            x_scr[k * to] = x_scr[k * to] + (b1 * xp1 + b2 * xp2)
+            x_scr[k * to + 1] = x_scr[k * to + 1] + b2 * xp1
+            xp2 = t3[0]
+            xp1 = t3[1]
+        carry[0] = xp1
+        carry[1] = xp2
+    else:
+      for k in range(m):
         xnk = xn_ref[pl.ds(t_idx * m + k, 1), :]       # [1, LANES]
         if int3:
             # exact single-pass bf16 matmul: g0t is the integer-scaled
@@ -264,8 +332,42 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
         x_scr[k * to : (k + 1) * to] = yk.reshape(to, 8, 128)
 
     # 3: biquad recurrence over the m*to resampled steps
-    init = (carry[0], carry[1], carry[2], carry[3])
-    if subblk:
+    if firfold:
+        # pure 2-term IIR on the FIR-folded u values (x_scr), unrolled
+        # LA-deep with the u-form coefficient rows (see _prepare): the
+        # leading u term has coefficient 1, so output k costs k+2 FMAs —
+        # ~40% fewer serial-loop ops than the full-biquad unrolling
+        LA = max(lookahead, 1)
+
+        def step_ff(i, acc):
+            py1, py2 = acc
+            t = LA * i
+            us = [x_scr[t + j] for j in range(LA)]
+            ys = []
+            base = 5
+            for k in range(LA):
+                if k == 0:
+                    y = _tree_sum([us[0], -(a1 * py1), -(a2 * py2)])
+                else:
+                    nco = k + 2
+                    cf = [c_ref[base + j] for j in range(nco)]
+                    base += nco
+                    terms = [us[k]]
+                    terms += [cf[j] * us[k - 1 - j] for j in range(k)]
+                    terms += [cf[k] * py1, cf[k + 1] * py2]
+                    y = _tree_sum(terms)
+                y_scr[t + k] = y
+                ys.append(y)
+            if LA == 1:
+                return (ys[-1], py1)
+            return (ys[-1], ys[-2])
+
+        y1, y2 = jax.lax.fori_loop(
+            0, mto // LA, step_ff, (carry[2], carry[3])
+        )
+        carry[2] = y1
+        carry[3] = y2
+    elif subblk:
         # blocked parallel-in-time biquad (non-AGC path):
         #   a. FIR part u = b0 x + b1 x[-1] + b2 x[-2] as ARRAY ops (no
         #      serial dependency — full-width row slices),
@@ -336,17 +438,7 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
         # trip (the loop is latency-bound, not issue-bound). Coefficient
         # rows come from c_ref[5:] (see the wrapper derivation).
         LA = lookahead
-
-        def _tree_sum(terms):
-            # pairwise reduction: depth log2(n) instead of n — the loop
-            # is latency-bound, so the add-tree depth IS the cost
-            while len(terms) > 1:
-                nxt = [terms[i] + terms[i + 1]
-                       for i in range(0, len(terms) - 1, 2)]
-                if len(terms) % 2:
-                    nxt.append(terms[-1])
-                terms = nxt
-            return terms[0]
+        init = (carry[0], carry[1], carry[2], carry[3])
 
         def step_la(i, acc):
             x1, x2, y1, y2 = acc
@@ -373,6 +465,8 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
 
         x1, x2, y1, y2 = jax.lax.fori_loop(0, m * to // LA, step_la, init)
     else:
+        init = (carry[0], carry[1], carry[2], carry[3])
+
         def step(t, acc):
             x1, x2, y1, y2 = acc
             xcur = x_scr[t]
@@ -382,10 +476,13 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
 
         x1, x2, y1, y2 = jax.lax.fori_loop(0, m * to, step, init)
 
-    carry[0] = x1
-    carry[1] = x2
-    carry[2] = y1
-    carry[3] = y2
+    if not firfold:
+        # firfold already stored its carries (x tail in the resample
+        # loop, y tail in its own IIR branch)
+        carry[0] = x1
+        carry[1] = x2
+        carry[2] = y1
+        carry[3] = y2
 
     # 3b: AGC over the biquad outputs (channel-major: ch0 = sublanes 0..3,
     # ch1 = 4..7). Per interleaved sub-step (frame t: ch0 then ch1, the
@@ -398,8 +495,18 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
     # `desired` is hoisted out of the serial chain (computed for a whole
     # AW-frame group at once); the gain smoother stays serial.
     if agc is not None:
-        att, rel, target, mg, floor_, invw = agc
-        cp_a.wait()
+        # AGC parameters are DATA (SMEM scalars), not trace constants:
+        # live set_attack/set_release/set_enabled on the fused farm path
+        # are pure state updates with zero re-trace (src/source/agc.rs
+        # knob semantics)
+        att = agcp_ref[0]
+        rel = agcp_ref[1]
+        target = agcp_ref[2]
+        mg = agcp_ref[3]
+        floor_ = agcp_ref[4]
+        invw = agcp_ref[5]
+        if len_a:
+            cp_a.wait()
         if row_a:
             cp_b.wait()
         AW = 4
@@ -531,38 +638,24 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
         out_state_ref[...] = carry[...].reshape(4, LANES).T
 
 
-def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
-             *, fr: int, to: int, m: int, precision: str, lookahead: int,
-             subblk: int = 0, binary_mix: bool = False,
-             bfold: bool = False):
-    """Shared host-side prep: int3 weight/piece layout, look-ahead biquad
-    coefficient rows (or blocked-IIR homogeneous responses), packed SMEM
-    vectors, state packing."""
-    int3 = chunks.ndim == 4
-    if int3:
-        Nc, npc, fr_p, _ = chunks.shape
-        assert npc in (2, 3) and chunks.dtype == jnp.bfloat16
-        assert to <= 1024, "int-piece path requires integer weights <= 1024"
-        assert m <= 2, "int-piece with m > 2 exceeds the 16MB VMEM budget"
-        # weights <= 256 are bf16-exact directly; above that the integer
-        # operator splits as w = 4*hi + lo (hi <= to/4 <= 256, lo <= 3,
-        # both exact) and the kernel recombines the two accumulator
-        # halves — the exact single-pass trick at ANY rational ratio
-        wsplit = to > 256
-        assert not wsplit or m * to <= 1280, "to > 256 needs m = 1"
-    else:
-        Nc, fr_p, _ = chunks.shape
-        npc = 1
-        wsplit = False
-    assert fr_p >= fr and fr_p % 16 == 0
-    K = xn_t.shape[0]
-    assert xn_t.shape == (K, LANES) and K % m == 0
-    dt = xn_t.dtype
-
-    st = jnp.stack(list(bq_state), axis=1)             # [LANES, 4]
-    g1p = jnp.zeros((to, 8), dt).at[:, 0].set(g1)
-    b0, b1, b2, a1, a2 = (jnp.asarray(v, dt) for v in coeffs)
+def build_fused_operator(g0, g1, coeffs, *, fr: int, to: int, m: int,
+                         fr_p: int, npc: int, precision: str,
+                         lookahead: int, subblk: int = 0,
+                         bfold: bool = False, firfold: bool = False,
+                         wsplit: bool = False, dt=jnp.float32,
+                         coeffs_static: tuple = None):
+    """Derive the kernel's COEFF-DEPENDENT constants: the packed SMEM
+    coefficient vector ``c`` (look-ahead / u-form rows), the staged
+    resample weight matrix ``g0t`` (FIR-folded when ``firfold``) and the
+    subblk correction matrix ``ab``. Callers hold the result in their
+    STATE and pass it to the fused entries as the ``op`` argument:
+    retune = recompute here (host, once per knob change) + swap into the
+    state — zero re-trace AND zero per-block rebuild cost (an earlier
+    design derived these inside the per-block emit, which put ~60 scalar
+    ops and the weight build inside the render scan body)."""
+    int3 = npc > 1
     mto = m * to
+    b0, b1, b2, a1, a2 = (jnp.asarray(v, dt) for v in coeffs)
 
     # -- biquad SMEM constants: either the blocked-IIR homogeneous
     # responses (subblk) or the scattered look-ahead coefficient rows --
@@ -570,12 +663,18 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
         # blocked-IIR constants: homogeneous responses of the recurrence
         # y[t] = -a1 y[t-1] - a2 y[t-2] to unit boundary values —
         # alpha for y[-1] = 1, beta for y[-2] = 1 (f32, same arithmetic
-        # the sequential recurrence would produce)
+        # the sequential recurrence would produce). This opt-in path
+        # derives them with HOST numpy, so it needs concrete coeffs
+        # (the default paths accept traced coeffs = live retune).
+        assert coeffs_static is not None, (
+            "subblk requires coeffs_static (concrete biquad coefficients)"
+        )
         assert mto % subblk == 0 and subblk >= 4
         L = subblk
         G = mto // L
         assert G <= 8, "interleave depth capped at 8 chains"
-        _a1, _a2 = np.float32(coeffs[3]), np.float32(coeffs[4])
+        _a1 = np.float32(coeffs_static[3])
+        _a2 = np.float32(coeffs_static[4])
         alpha = np.zeros(L, np.float32)
         beta = np.zeros(L, np.float32)
         pa1, pa2 = np.float32(1.0), np.float32(0.0)   # y[-1], y[-2]
@@ -596,6 +695,47 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
             ab_np[g * L : (g + 1) * L, 2 * (g - 1)] = alpha
             ab_np[g * L : (g + 1) * L, 2 * (g - 1) + 1] = beta
         ab = jnp.asarray(ab_np, dt)
+    elif firfold:
+        # u-form look-ahead rows: with the FIR folded into the resample
+        # operator the kernel loop runs the PURE 2-term IIR
+        #   y[t] = u[t] - a1 y[t-1] - a2 y[t-2]
+        # Unrolled LA-deep, output k is expressed in the iteration-entry
+        # state as
+        #   y[t+k] = u[t+k] + sum_{j=1..k} g_j u[t+k-j] + alpha_k y1
+        #            + beta_k y2
+        # (leading u coefficient is 1 — one add, no multiply), so each
+        # group of LA outputs costs ~(k+2) FMAs per output instead of the
+        # (k+4)-term rows of the full-biquad unrolling.
+        LA = max(lookahead, 1)
+        W = LA + 2  # basis: u[t+LA-1], ..., u[t], y[t-1], y[t-2]
+        zero = jnp.zeros((), dt)
+        one = jnp.ones((), dt)
+
+        def u_unit(j):  # basis vector for u[t+j], j in [0, LA-1]
+            v = [zero] * W
+            v[LA - 1 - j] = one
+            return v
+
+        def madd(*pairs):
+            out = [zero] * W
+            for coef, vec in pairs:
+                out = [o + coef * e for o, e in zip(out, vec)]
+            return out
+
+        y_p1 = [zero] * LA + [one, zero]     # y[t-1]
+        y_p2 = [zero] * (LA + 1) + [one]     # y[t-2]
+        packed = [b0, b1, b2, a1, a2]
+        for k in range(LA):
+            row = madd((-a1, y_p1), (-a2, y_p2))
+            if k >= 1:
+                # [g_1..g_k, alpha_k, beta_k] — k+2 coefficients (row 0
+                # uses a1/a2 from the base slots directly)
+                packed.extend(row[LA - k : LA + 2])
+            y_full = madd((one, row), (one, u_unit(k)))
+            y_p2 = y_p1
+            y_p1 = y_full
+        CP = 2
+        ab = jnp.zeros((mto, CP), dt)
     else:
         # look-ahead coefficient rows: y[t+k] = b0 x[t+k] + row_k . basis
         # with basis = (x[t+LA-2], ..., x[t], x[t-1], x[t-2], y[t-1],
@@ -633,10 +773,40 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
         ab = jnp.zeros((mto, CP), dt)
     n_smem = -(-len(packed) // 8) * 8
     c = jnp.stack(packed + [jnp.zeros((), dt)] * (n_smem - len(packed)))
-    c0 = jnp.asarray(c0, jnp.int32).reshape(1)
 
     # -- resample weight layout (shared by both biquad modes) --
-    if int3:
+    if firfold:
+        # FIR-folded operator W = F . G0: row t of the stacked weight
+        # matrix is b0 g0[t] + b1 g0[t-1] + b2 g0[t-2] (rows < 0 zero —
+        # the kernel adds the carried-tail terms to rows 0/1), INCLUDING
+        # the boundary column (padding row fr carries the next chunk's
+        # first frame, bfold layout), so ONE dot emits the biquad's
+        # whole FIR half; two extra rows emit the RAW resampled tail
+        # frames [to-2, to-1] the next chunk's fixup and the carried
+        # x-history state need. The f32 weights are split into three
+        # exact bf16 pieces stacked along the output axis (every
+        # product of the DEFAULT-precision dot exact, f32-accumulated);
+        # tiled npc-x along the contraction axis to match the stacked
+        # PCM pieces.
+        w0 = jnp.pad(jnp.asarray(g0, dt).T, ((0, 0), (0, fr_p - fr)))
+        w0 = w0.at[:, fr].set(jnp.asarray(g1, dt))
+        zrow = jnp.zeros((1, fr_p), dt)
+        wf = (b0 * w0
+              + b1 * jnp.concatenate([zrow, w0[:-1]], axis=0)
+              + b2 * jnp.concatenate([zrow, zrow, w0[:-2]], axis=0))
+        stack = jnp.concatenate([wf, w0[to - 2 : to]], 0)  # [to+2, fr_p]
+        # pad each piece group to an 8-row multiple so the kernel's
+        # accumulator slices land on sublane-aligned offsets (misaligned
+        # row slices force Mosaic relayouts that dwarf the MXU cost)
+        to2p = -(-(to + 2) // 8) * 8
+        stack = jnp.pad(stack, ((0, to2p - (to + 2)), (0, 0)))
+        wp1 = stack.astype(jnp.bfloat16)
+        res = stack - wp1.astype(dt)
+        wp2 = res.astype(jnp.bfloat16)
+        wp3 = (res - wp2.astype(dt)).astype(jnp.bfloat16)
+        g0t = jnp.concatenate([wp1, wp2, wp3], axis=0)  # [3*to2p, fr_p]
+        g0t = jnp.concatenate([g0t] * npc, axis=1)
+    elif int3:
         # integer-scaled lerp weights: g0*to has entries in [0, to],
         # exactly representable in bf16 for to <= 256 (split 4*hi+lo
         # above that); tiled npc-x along the contraction axis to match
@@ -658,10 +828,78 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
         else:
             g1w = wint.astype(jnp.bfloat16)
         g0t = jnp.concatenate([g1w] * npc, axis=1)
-        chunks = chunks.reshape(Nc, npc * fr_p, LANES)
     else:
         assert not bfold, "bfold requires an int-piece layout"
         g0t = jnp.pad(jnp.asarray(g0, dt).T, ((0, 0), (0, fr_p - fr)))
+    return dict(c=c, g0t=g0t, ab=ab)
+
+
+def fused_layout(chunks, *, to: int, m: int, firfold: bool = False,
+                 subblk: int = 0):
+    """Static layout facts derived from the chunk buffer shape:
+    (int3, Nc, npc, fr_p, wsplit)."""
+    int3 = chunks.ndim == 4
+    if int3:
+        Nc, npc, fr_p, _ = chunks.shape
+        assert npc in (2, 3) and chunks.dtype == jnp.bfloat16
+        assert to <= 1024, "int-piece path requires integer weights <= 1024"
+        assert m <= 2, "int-piece with m > 2 exceeds the 16MB VMEM budget"
+        # weights <= 256 are bf16-exact directly; above that the integer
+        # operator splits as w = 4*hi + lo (hi <= to/4 <= 256, lo <= 3,
+        # both exact) and the kernel recombines the two accumulator
+        # halves — the exact single-pass trick at ANY rational ratio.
+        # firfold sidesteps the split: its weights are f32 split into
+        # three exact bf16 pieces, so any magnitude rides the same dot.
+        wsplit = to > 256 and not firfold
+        assert not wsplit or m * to <= 1280, "to > 256 needs m = 1"
+    else:
+        Nc, fr_p, _ = chunks.shape
+        npc = 1
+        wsplit = False
+    return int3, Nc, npc, fr_p, wsplit
+
+
+def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
+             *, fr: int, to: int, m: int, precision: str, lookahead: int,
+             subblk: int = 0, binary_mix: bool = False,
+             bfold: bool = False, firfold: bool = False,
+             coeffs_static: tuple = None, op=None):
+    """Shared per-call prep: layout facts, state packing, and (when the
+    caller did not supply a precomputed ``op``) the coeff-dependent
+    operator build."""
+    int3, Nc, npc, fr_p, wsplit = fused_layout(
+        chunks, to=to, m=m, firfold=firfold, subblk=subblk
+    )
+    if firfold:
+        # FIR-fold constraints: the boundary frame must ride the padding
+        # row (the folded weights reference it), the PCM must be in the
+        # exact-piece layout, chunks must be >= 2 output rows deep (the
+        # carried-tail fixup touches rows 0 and 1), and the IIR
+        # look-ahead must tile the block
+        assert int3 and bfold, "firfold requires the int-piece bfold layout"
+        assert to >= 2, "firfold needs >= 2 output rows per chunk"
+        assert not subblk, "firfold and subblk are alternative IIR plans"
+        assert (m * to) % max(lookahead, 1) == 0
+    assert fr_p >= fr and fr_p % 16 == 0
+    K = xn_t.shape[0]
+    assert xn_t.shape == (K, LANES) and K % m == 0
+    dt = xn_t.dtype
+
+    if op is None:
+        op = build_fused_operator(
+            g0, g1, coeffs, fr=fr, to=to, m=m, fr_p=fr_p, npc=npc,
+            precision=precision, lookahead=lookahead, subblk=subblk,
+            bfold=bfold, firfold=firfold, wsplit=wsplit, dt=dt,
+            coeffs_static=coeffs_static,
+        )
+    c, g0t, ab = op["c"], op["g0t"], op["ab"]
+    CP = ab.shape[1]
+
+    st = jnp.stack(list(bq_state), axis=1)             # [LANES, 4]
+    g1p = jnp.zeros((to, 8), dt).at[:, 0].set(g1)
+    c0 = jnp.asarray(c0, jnp.int32).reshape(1)
+    if int3:
+        chunks = chunks.reshape(Nc, npc * fr_p, LANES)
     mixt = mixmat.T
     if binary_mix:
         mixt = mixt.astype(jnp.bfloat16)
@@ -705,7 +943,8 @@ def _common_scratch(P, m, to):
 @functools.partial(
     jax.jit,
     static_argnames=("fr", "to", "m", "interpret", "precision", "lookahead",
-                     "subblk", "binary_mix", "bfold", "coeffs"),
+                     "subblk", "binary_mix", "bfold", "firfold",
+                     "coeffs_static", "ring_chunks"),
 )
 def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
                               bq_state, *, fr: int, to: int, m: int = 2,
@@ -714,6 +953,10 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
                               subblk: int = 0,
                               binary_mix: bool = False,
                               bfold: bool = False,
+                              firfold: bool = False,
+                              coeffs_static: tuple = None,
+                              ring_chunks: int = 0,
+                              op=None,
                               interpret: bool = False):
     """Fused pipeline over one block, reading straight from the chunked
     buffer.
@@ -735,7 +978,8 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
     """
     P = _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
                  fr=fr, to=to, m=m, precision=precision, lookahead=lookahead,
-                 subblk=subblk, binary_mix=binary_mix, bfold=bfold)
+                 subblk=subblk, binary_mix=binary_mix, bfold=bfold,
+                 firfold=firfold, coeffs_static=coeffs_static, op=op)
     n_t = P["n_t"]
     dt = P["dt"]
     mem = pltpu.ANY if interpret else pltpu.VMEM
@@ -746,7 +990,8 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
         functools.partial(_fused_kernel, m=m, to=to, precision=P["prec"],
                           int3=P["int3"], lookahead=lookahead,
                           subblk=subblk, binary_mix=binary_mix,
-                          bfold=P["bfold"], wsplit=P["wsplit"]),
+                          bfold=P["bfold"], wsplit=P["wsplit"],
+                          firfold=firfold, ring_chunks=ring_chunks),
         grid=(n_t,),
         in_specs=in_specs,
         out_specs=(
@@ -773,7 +1018,7 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
 @functools.partial(
     jax.jit,
     static_argnames=("fr", "to", "m", "interpret", "precision", "lookahead",
-                     "agc_params", "lag", "bfold"),
+                     "lag", "bfold", "firfold", "ring_chunks"),
     donate_argnames=("ring",),
 )
 def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
@@ -781,9 +1026,12 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
                                   *, fr: int, to: int, m: int = 2,
                                   precision: str = "highest",
                                   lookahead: int = 2,
-                                  agc_params: tuple,
+                                  agc_params,
                                   lag: int,
                                   bfold: bool = False,
+                                  firfold: bool = False,
+                                  ring_chunks: int = 0,
+                                  op=None,
                                   interpret: bool = False):
     """AGC-bearing fused pipeline (see _fused_agc_kernel).
 
@@ -802,20 +1050,33 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
     """
     P = _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
                  fr=fr, to=to, m=m, precision=precision, lookahead=lookahead,
-                 bfold=bfold)
+                 bfold=bfold, firfold=firfold, op=op)
     n_t = P["n_t"]
     dt = P["dt"]
     mto = m * to
     rs_slots = ring.shape[0]
     assert ring.shape == (rs_slots, mto, 8, 128)
     assert rs_slots >= -(-lag // mto) + 2
+    # the slot-B read of step t touches slot t - lag//mto; ring writes
+    # are only waited two steps after issue, so the read would race the
+    # in-flight write when the RMS window is shorter than two grid steps
+    assert lag >= 2 * mto, (
+        f"fused AGC needs RMS lag {lag} >= 2*m*to = {2 * mto}; "
+        "use a smaller m or emit block"
+    )
     assert agc_state.shape == (12, 128)
     k0 = jnp.asarray(k0, jnp.int32).reshape(1)
+    dtp = P["dt"]
+    agcp = jnp.stack(
+        [jnp.asarray(v, dtp) for v in agc_params]
+        + [jnp.zeros((), dtp)] * (8 - len(agc_params))
+    )  # SMEM data: live AGC knobs, zero re-trace
     mem = pltpu.ANY if interpret else pltpu.VMEM
 
     in_specs = _common_in_specs(P, mem, P["K"])
-    # insert k0 after c0; append agc_state + ring
+    # insert k0 + agc params after c0; append agc_state + ring
     in_specs.insert(1, pl.BlockSpec(memory_space=pltpu.SMEM))
+    in_specs.insert(2, pl.BlockSpec(memory_space=pltpu.SMEM))
     in_specs.append(pl.BlockSpec((12, 128), lambda t: (0, 0),
                                  memory_space=mem))
     in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))   # ring (HBM)
@@ -823,9 +1084,10 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
     out3, out_state, out_agc, ring_out = pl.pallas_call(
         functools.partial(
             _fused_agc_kernel, m=m, to=to, precision=P["prec"],
-            int3=P["int3"], lookahead=lookahead, agc=agc_params,
+            int3=P["int3"], lookahead=lookahead,
             rs_slots=rs_slots, lag=lag, bfold=P["bfold"],
-            wsplit=P["wsplit"],
+            wsplit=P["wsplit"], firfold=firfold,
+            ring_chunks=ring_chunks,
         ),
         grid=(n_t,),
         in_specs=in_specs,
@@ -849,10 +1111,10 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
             pltpu.SemaphoreType.DMA((2,)),        # ring reads
             pltpu.SemaphoreType.DMA((2,)),        # ring writes
         ],
-        input_output_aliases={10: 3},             # ring in -> ring out
+        input_output_aliases={11: 3},             # ring in -> ring out
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(P["c0"], k0, P["c"], P["chunks"], xn_t, P["g0t"], P["g1p"],
+    )(P["c0"], k0, agcp, P["c"], P["chunks"], xn_t, P["g0t"], P["g1p"],
       P["mixt"], P["st"], agc_state, ring)
 
     mix = out3.reshape(P["K"] * to, 8).T
