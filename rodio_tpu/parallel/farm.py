@@ -30,19 +30,151 @@ import numpy as np
 from ..core.types import StreamSpec
 
 
-def _find_port_state(state):
-    """Walk the nested node states to the PushPort's dict (the innermost
-    'in' chain member holding the FIFO keys)."""
+def _rechannel_np(block: np.ndarray, to_channels: int) -> np.ndarray:
+    """Positional channel up/down mix, numpy mirror of
+    conversions/channels.py:rechannel_block (src/conversions/channels.rs
+    semantics: mono->N duplicates ch0 into ch1, zero-fills ch>=2; N->M
+    keeps the first M)."""
+    fc = block.shape[0]
+    if fc == to_channels:
+        return block
+    rows = []
+    for c in range(to_channels):
+        if c < fc:
+            rows.append(block[c])
+        elif c == 1 and fc == 1:
+            rows.append(block[0])
+        else:
+            rows.append(np.zeros_like(block[0]))
+    return np.stack(rows, axis=0)
+
+
+class _UniformStream:
+    """Host-side per-stream uniformization to (channels, rate) at farm
+    ingest — the reference's UniformSourceIterator applied per source
+    (src/source/uniform.rs:33-97): rational-lerp resample at the
+    source's OWN channel count, then positional rechannel (the
+    composition order of conversions/uniform.py).
+
+    The resampler mirrors the engine's closed form
+    (conversions/resample.py: left = c*fr + (fr*j)//to,
+    frac = f32(((fr*j) % to) / to), out = (1-frac)*x_l + frac*x_r,
+    plus the end-of-stream drain rule) in vectorized f32 numpy, so a
+    heterogeneous farm matches per-stream engine Uniform chains to
+    f32-rounding order (~1 ulp per lerp).
+
+    Presents the FfStream surface the farm pool uses (read/seek/close,
+    channels/sample_rate attributes).
+    """
+
+    def __init__(self, stream, channels: int, rate: int):
+        import math
+
+        self._s = stream
+        self.channels = int(channels)
+        self.sample_rate = int(rate)
+        g = math.gcd(stream.sample_rate, rate)
+        self._fr = stream.sample_rate // g
+        self._to = rate // g
+        self._reset()
+
+    def _reset(self):
+        self._o = 0            # next output frame index
+        self._base = 0         # global input index of self._buf[:, 0]
+        self._buf = np.zeros((self._s.channels, 0), np.float32)
+        self._n_in = None      # total input frames, known at source EOF
+        self._drained = False
+
+    def _left(self, o: int) -> int:
+        c, j = divmod(o, self._to)
+        return c * self._fr + (self._fr * j) // self._to
+
+    def read(self, n: int) -> np.ndarray:
+        if self._fr == self._to:
+            return _rechannel_np(self._s.read(n), self.channels)
+        if self._drained or n <= 0:
+            return np.zeros((self.channels, 0), np.float32)
+        fr, to = self._fr, self._to
+        o0 = self._o
+        need_right = self._left(o0 + n - 1) + 1
+        while (self._n_in is None
+               and self._base + self._buf.shape[1] <= need_right):
+            want = need_right - (self._base + self._buf.shape[1]) + 1
+            blk = self._s.read(max(want, 8192))
+            if blk.shape[1] < max(want, 8192):
+                self._n_in = (self._base + self._buf.shape[1]
+                              + blk.shape[1])
+            if blk.shape[1]:
+                self._buf = np.concatenate([self._buf, blk], axis=1)
+
+        drain_tail = None
+        if self._n_in is not None:
+            from ..conversions.resample import _resample_counts
+
+            n_full, has_drain = _resample_counts(self._n_in, fr, to)
+            k = min(n, max(n_full - o0, 0))
+            if (has_drain and o0 + k == n_full and k < n
+                    and self._base + self._buf.shape[1] == self._n_in
+                    and self._n_in > self._base):
+                # drain rule (src/conversions/sample_rate.rs:192-200):
+                # the final input frame is emitted once, unmodified
+                drain_tail = self._buf[:, self._n_in - self._base - 1]
+                self._drained = True
+            elif k < n:
+                self._drained = True
+        else:
+            k = n
+
+        if k > 0:
+            o = np.arange(o0, o0 + k, dtype=np.int64)
+            c, j = np.divmod(o, to)
+            left = c * fr + (fr * j) // to - self._base
+            frac = ((fr * j) % to).astype(np.float32) / np.float32(to)
+            xl = self._buf[:, left]
+            xr = self._buf[:, left + 1]
+            out = (np.float32(1.0) - frac)[None, :] * xl \
+                + frac[None, :] * xr
+            self._o = o0 + k
+        else:
+            out = np.zeros((self._s.channels, 0), np.float32)
+        if drain_tail is not None:
+            out = np.concatenate([out, drain_tail[:, None]], axis=1)
+            self._o += 1
+        # retire input below the next output's left neighbor
+        new_base = self._left(self._o)
+        if new_base > self._base:
+            self._buf = self._buf[:, new_base - self._base :]
+            self._base = new_base
+        return _rechannel_np(np.ascontiguousarray(out), self.channels)
+
+    def seek(self, seconds: float):
+        """Demuxer-coarse seek + span restart (phase resets to 0, the
+        reference's span re-bootstrap at a seek)."""
+        self._s.seek(seconds)
+        self._reset()
+
+    def close(self):
+        self._s.close()
+
+
+def _find_state_with(state, keys):
+    """Walk the nested node states (via 'in' links) to the innermost
+    dict holding all of ``keys``; returns the key path."""
     path = []
     cur = state
     while isinstance(cur, dict):
-        if "buf" in cur and "level" in cur and "overflow" in cur:
+        if all(k in cur for k in keys):
             return path
         if "in" not in cur:
             break
         path.append("in")
         cur = cur["in"]
-    raise KeyError("PushPort state not found in the chain state")
+    raise KeyError(f"state with keys {keys} not found in the chain state")
+
+
+def _find_port_state(state):
+    """Path to the PushPort's dict (the FIFO keys)."""
+    return _find_state_with(state, ("buf", "level", "overflow"))
 
 
 def _get_path(state, path):
@@ -70,7 +202,8 @@ class StreamFarm:
                  low_pass: Optional[float] = 2000.0,
                  start_offsets: Optional[Sequence[float]] = None,
                  loop: bool = True, chunk_frames: int = 8192,
-                 decode_workers: int = 8, wire: str = "f32"):
+                 decode_workers: int = 8, wire: str = "f32",
+                 fused: bool = False):
         from ..io.native import FfStream
 
         self.paths = list(paths)
@@ -83,8 +216,23 @@ class StreamFarm:
             self._streams.append(s)
         specs = {(s.channels, s.sample_rate) for s in self._streams}
         if len(specs) != 1:
-            raise ValueError(f"farm files must share a format: {specs}")
-        C, in_rate = self._streams[0].channels, self._streams[0].sample_rate
+            # heterogeneous corpus: uniformize per stream at ingest (the
+            # reference runs every queued source through a
+            # UniformSourceIterator, src/source/uniform.rs:33) — each
+            # stream is host-lerp-resampled ONCE straight to the farm's
+            # output rate and positionally rechanneled, so the device
+            # chain runs identity-rate and the per-stream math matches a
+            # per-stream engine Uniform chain
+            C = max(c for c, _ in specs)
+            self._streams = [
+                _UniformStream(s, C, out_rate)
+                if (s.channels, s.sample_rate) != (C, out_rate) else s
+                for s in self._streams
+            ]
+            in_rate = out_rate
+        else:
+            C, in_rate = (self._streams[0].channels,
+                          self._streams[0].sample_rate)
         self.spec_in = StreamSpec(C, in_rate)
         self.n_streams = S
         self.loop = loop
@@ -116,18 +264,50 @@ class StreamFarm:
         #: quantization otherwise; useful when the interconnect is thin)
         assert wire in ("f32", "i16")
         self.wire = wire
-        self.port = PushPort(S * C, in_rate, capacity, self._push)
-        chain = self.port
-        chain = Resample(chain, out_rate, max_block=block_frames)
-        if low_pass is not None:
-            chain = BltFilter(chain, "low_pass", low_pass, 0.5)
         if gains is None:
             gains = np.full(S, 1.0 / S, np.float32)
         gains = np.asarray(gains, np.float32)
         per_lane = np.repeat(gains, C) if gains.shape == (S,) else gains
-        chain = Amplify(chain, per_lane)
-        chain = WideMixer(chain, S)
-        self.master = Limit(chain, LimitSettings(), mode="auto")
+        self.fused = bool(fused)
+        if fused:
+            # fused device path (VERDICT r2 #3): host blocks push whole
+            # CHUNKS into a rolling device ring and the constant-memory
+            # farm runs the flagship mega-kernel instead of the unfused
+            # chain. Per-stream gains fold into the PCM at push (linear
+            # stages commute with a per-lane scalar).
+            from ..flagship import ChunkRingFeed, FusedFarmPipeline
+            from ..ops.fused import LANES
+
+            m = 2
+            assert fr != to and to >= 2, (
+                "fused farm needs a non-identity rational rate ratio"
+            )
+            assert block_frames % (m * to) == 0, (
+                f"fused farm block must be a multiple of {m * to}"
+            )
+            assert S * C <= LANES
+            self._Kp = block_frames // to
+            self.feed = ChunkRingFeed(
+                S * C, in_rate, fr, self._Kp, 4 * self._Kp, "int3",
+                per_lane,
+            )
+            self._push = self._Kp * fr
+            self.port = None
+            pipe = FusedFarmPipeline(
+                self.feed, out_rate, S,
+                "low_pass" if low_pass is not None else None,
+                low_pass if low_pass is not None else 2000.0, 0.5, m=m,
+            )
+            self.master = Limit(pipe, LimitSettings(), mode="auto")
+        else:
+            self.port = PushPort(S * C, in_rate, capacity, self._push)
+            chain = self.port
+            chain = Resample(chain, out_rate, max_block=block_frames)
+            if low_pass is not None:
+                chain = BltFilter(chain, "low_pass", low_pass, 0.5)
+            chain = Amplify(chain, per_lane)
+            chain = WideMixer(chain, S)
+            self.master = Limit(chain, LimitSettings(), mode="auto")
 
         # host-side per-stream FIFOs + refill pool
         self._fifos = [collections.deque() for _ in range(S)]
@@ -143,27 +323,42 @@ class StreamFarm:
     # ---- host decode side ----
 
     def _refill_one(self, i: int):
-        s = self._streams[i]
-        blk = s.read(self.chunk_frames)
-        if blk.shape[1] < self.chunk_frames and self.loop:
-            parts = [blk]
-            got = blk.shape[1]
-            while got < self.chunk_frames:
-                s.seek(0.0)
-                more = s.read(self.chunk_frames - got)
-                if more.shape[1] == 0:
-                    break
-                parts.append(more)
-                got += more.shape[1]
-            blk = np.concatenate(parts, axis=1)
-        with self._fifo_lock:
-            if blk.shape[1]:
-                self._fifos[i].append(blk)
-                self._fifo_frames[i] += blk.shape[1]
-            else:
-                self._alive[i] = False
-            self._inflight.discard(i)
-            self._fifo_lock.notify_all()
+        # any decode/seek error marks the stream dead (the reference
+        # skips decode errors, src/decoder/symphonia.rs:366-372; a farm
+        # stream that cannot produce more frames simply ends) — and the
+        # finally ALWAYS clears the in-flight mark, or _pop_frames would
+        # wait forever on a stream whose refill died
+        blk = None
+        try:
+            s = self._streams[i]
+            blk = s.read(self.chunk_frames)
+            if blk.shape[1] < self.chunk_frames and self.loop:
+                parts = [blk]
+                got = blk.shape[1]
+                while got < self.chunk_frames:
+                    s.seek(0.0)
+                    more = s.read(self.chunk_frames - got)
+                    if more.shape[1] == 0:
+                        break
+                    parts.append(more)
+                    got += more.shape[1]
+                blk = np.concatenate(parts, axis=1)
+        except Exception:
+            import logging
+
+            logging.getLogger("rodio_tpu.farm").warning(
+                "stream %d refill failed; marking it ended", i,
+                exc_info=True,
+            )
+        finally:
+            with self._fifo_lock:
+                if blk is not None and blk.shape[1]:
+                    self._fifos[i].append(blk)
+                    self._fifo_frames[i] += blk.shape[1]
+                else:
+                    self._alive[i] = False
+                self._inflight.discard(i)
+                self._fifo_lock.notify_all()
 
     def _schedule_refills(self, threshold: int):
         with self._fifo_lock:
@@ -231,7 +426,12 @@ class StreamFarm:
 
     def init_state(self):
         state = self.master.init_state()
-        self._port_path = _find_port_state(state)
+        if self.fused:
+            self._port_path = _find_state_with(
+                state, ("chunks", "carry", "w")
+            )
+        else:
+            self._port_path = _find_port_state(state)
         return state
 
     def make_step(self):
@@ -285,6 +485,78 @@ class StreamFarm:
             return o
         return (o // to) * fr + (fr * (o % to)) // to
 
+    # ---- fused device path ----
+
+    def _make_fused_jits(self):
+        import jax
+
+        feed, master, path = self.feed, self.master, self._port_path
+        n = self.block_frames
+
+        @jax.jit
+        def prime_push(state, block):
+            fs = _get_path(state, path)
+            fs = feed.push(fs, block, prime=True)
+            return _set_path(state, path, fs)
+
+        @jax.jit
+        def step(state, block):
+            fs = _get_path(state, path)
+            fs = feed.push(fs, block)
+            state = _set_path(state, path, fs)
+            return master.emit(state, n)
+
+        return prime_push, step
+
+    def _assemble_frames(self, n: int) -> np.ndarray:
+        out = np.empty((self.n_streams * self.spec_in.channels, n),
+                       np.float32)
+        C = self.spec_in.channels
+        for i in range(self.n_streams):
+            out[i * C : (i + 1) * C] = self._pop_frames(i, n)
+        return out
+
+    def _run_fused(self, n_blocks: int, on_block):
+        """Fused device path: every host block pushes exactly Kp chunks
+        into the rolling device ring; the mega-kernel consumes them with
+        modulo indexing — no retire bookkeeping (old chunks are simply
+        overwritten Kp-aligned)."""
+        import jax
+        import jax.numpy as jnp
+
+        self.prime()
+        state = self.init_state()
+        prime_push, step = self._make_fused_jits()
+        fr = self._fr
+        # prime: (Kp+1)*fr frames complete chunks 0..Kp-1 and seed the
+        # carried boundary tail
+        state = prime_push(
+            state, jax.device_put(self._assemble_frames(
+                (self._Kp + 1) * fr
+            ))
+        )
+        dev_block = jax.device_put(self._assemble_frames(self._push))
+        energy_acc = jnp.zeros(())
+        valid_acc = jnp.zeros((), jnp.int32)
+        for k in range(n_blocks):
+            self._schedule_refills(threshold=2 * self._push)
+            state, out, valid = step(state, dev_block)
+            if k + 1 < n_blocks:
+                dev_block = jax.device_put(
+                    self._assemble_frames(self._push)
+                )
+            if on_block is not None:
+                on_block(k, out, valid)
+            valid_acc = valid_acc + valid
+            energy_acc = energy_acc + jnp.sum(out * out)
+            if (k + 1) % 32 == 0:
+                int(valid_acc)
+        total_valid = int(valid_acc)
+        energy = float(energy_acc)
+        overflow = bool(_get_path(state, self._port_path)["overflow"])
+        self._final_state = state
+        return total_valid, energy, overflow
+
     def run(self, n_blocks: int, *, on_block=None):
         """Drive n_blocks; returns (total_valid_frames, energy, overflow).
 
@@ -294,6 +566,9 @@ class StreamFarm:
         length (pulls lag pushes by at most one pull chunk + margin).
         """
         import jax.numpy as jnp
+
+        if self.fused:
+            return self._run_fused(n_blocks, on_block)
 
         self.prime()
         state = self.init_state()
