@@ -116,7 +116,7 @@ def main():
     audio_seconds_per_block = n_streams * T / 48000.0
     realtime_multiple = audio_seconds_per_block / per_block
 
-    print(json.dumps({
+    line = {
         "metric": (
             "Audio-seconds/sec/chip (realtime multiple), "
             f"{n_streams}-stream mix+effects @48kHz stereo"
@@ -124,7 +124,37 @@ def main():
         "value": round(realtime_multiple, 1),
         "unit": "x realtime (aggregate)",
         "vs_baseline": round(realtime_multiple / 1000.0, 3),
-    }))
+    }
+
+    # on-hardware parity gate (VERDICT r2 #6): every driver bench also
+    # records the config-1..4 + hot-kernel deviations vs the refimpl
+    # oracle and regenerates PARITY_TPU.md, so a TPU-only numerical
+    # regression shows up in BENCH_r*.json instead of waiting for a
+    # manual tools/parity_tpu.py run. Progress goes to stderr; stdout
+    # stays ONE JSON line.
+    if os.environ.get("BENCH_PARITY", "1") != "0":
+        import sys
+        import traceback
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools"),
+        )
+        try:
+            import parity_tpu
+
+            rows, ok = parity_tpu.run_all(quiet=True, write_md=True)
+            worst = max(rows, key=lambda r: r[1] / max(r[2], 1e-300))
+            line["parity_tpu"] = {
+                "all_ok": bool(ok),
+                "cases": {r[0]: [r[1], r[2]] for r in rows},
+                "worst_case": worst[0],
+            }
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            line["parity_tpu"] = {"all_ok": False, "error": "crashed"}
+
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -37,6 +37,7 @@ from rodio_tpu.io.wav import read_wav  # noqa: E402
 
 ASSETS = "/root/reference/assets"
 ROWS = []
+_OUT = sys.stdout  # run_all(quiet=True) routes progress to stderr
 
 
 def interleave(b):
@@ -61,7 +62,8 @@ def row(name, got, exp, bound, note=""):
     ok = mx <= bound
     ROWS.append((name, mx, bound, ok, note))
     status = "ok" if ok else "FAIL"
-    print(f"  {name:42s} max|Δ| {mx:.3g}  (bound {bound:g})  {status}")
+    print(f"  {name:42s} max|Δ| {mx:.3g}  (bound {bound:g})  {status}",
+          file=_OUT)
     return ok
 
 
@@ -258,15 +260,28 @@ def fused_kernel():
                "int3 bf16 resample + lookahead biquad")
 
 
-def main():
+def run_all(*, quiet: bool = False, write_md: bool = True):
+    """Run every parity case; returns (rows, all_ok) where rows =
+    [(name, max_dev, bound, ok, note)]. quiet routes progress to stderr
+    (bench.py embeds the summary in its single-JSON-line stdout contract);
+    write_md regenerates PARITY_TPU.md."""
+    global _OUT
+    _OUT = sys.stderr if quiet else sys.stdout
+    ROWS.clear()
     backend = jax.default_backend()
-    print(f"parity_tpu: backend={backend} devices={jax.devices()}")
+    print(f"parity_tpu: backend={backend} devices={jax.devices()}",
+          file=_OUT)
     ok = True
     for fn in (config1, config2, config3, config4, pallas_kernels,
                fused_kernel):
-        print(f"[{fn.__name__}]")
+        print(f"[{fn.__name__}]", file=_OUT)
         ok &= fn()
+    if write_md:
+        _write_md(backend)
+    return list(ROWS), ok
 
+
+def _write_md(backend):
     lines = [
         "# On-hardware parity (real TPU)",
         "",
@@ -298,7 +313,11 @@ def main():
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PARITY_TPU.md"), "w") as f:
         f.write("\n".join(lines))
-    print("wrote PARITY_TPU.md")
+    print("wrote PARITY_TPU.md", file=_OUT)
+
+
+def main():
+    _, ok = run_all()
     if not ok:
         sys.exit(1)
 
