@@ -101,6 +101,8 @@ def main():
         max_block=max(T, 8192),
         lookahead=int(os.environ.get("BENCH_LOOKAHEAD", "4")),
         precision=os.environ.get("BENCH_PRECISION", "auto"),
+        firfold=os.environ.get("BENCH_FIRFOLD", "auto"),
+        agc_ring=os.environ.get("BENCH_AGC_RING", "bf16"),
     )
 
     t_a, e_a, v_a = _run_scan(node, state, T, n_blocks, r1)

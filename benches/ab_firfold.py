@@ -80,6 +80,13 @@ def main():
     variants = []
     for name, kw in [
         ("la4", dict(firfold=False, lookahead=4)),
+        ("la4-nolimit", dict(firfold=False, lookahead=4, _unwrap=True)),
+        ("la4-int2", dict(firfold=False, lookahead=4, precision="int2")),
+        ("la4-m3", dict(firfold=False, lookahead=4, m=3, _T=4800)),
+        ("la4-m3-int2", dict(firfold=False, lookahead=4, m=3,
+                             precision="int2", _T=4800)),
+        ("la4-ringf32", dict(firfold=False, lookahead=4,
+                             agc_ring="f32")),
         ("ff-la1", dict(firfold=True, lookahead=1)),
         ("ff-la2", dict(firfold=True, lookahead=2)),
         ("ff-la4", dict(firfold=True, lookahead=4)),
@@ -90,12 +97,17 @@ def main():
         variants.append((name, kw))
 
     for name, kw in variants:
+        unwrap = kw.pop("_unwrap", False)
+        T_v = kw.pop("_T", T)
         node, state = make_flagship(
             n_streams, seconds=seconds, scan_mode="fused",
             source_pcm=pcm, with_agc=with_agc, **kw,
         )
-        per = time_variant(node, state, T, n_blocks, 1, 6)
-        agg = (n_streams * T / 48000.0) / per
+        if unwrap:
+            node = node.input          # drop the master Limit stage
+            state = node.init_state()
+        per = time_variant(node, state, T_v, n_blocks, 1, 6)
+        agg = (n_streams * T_v / 48000.0) / per
         print(json.dumps({
             "variant": name + ("+agc" if with_agc else ""),
             "us_per_block": round(per * 1e6, 2),

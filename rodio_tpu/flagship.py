@@ -59,7 +59,8 @@ class FusedWidePipeline(Node):
                  freq: float = 2000.0, q: float = 0.5, *, m: int = 2,
                  precision: str = "auto", lookahead: int = 4,
                  subblk: int = 0, firfold="auto",
-                 with_agc: bool = False, agc_settings=None):
+                 with_agc: bool = False, agc_settings=None,
+                 agc_ring: str = "bf16"):
         assert getattr(input_node, "RANDOM_ACCESS", False) and hasattr(
             input_node, "slice_frames"
         ), "FusedWidePipeline needs a sliceable random-access source"
@@ -139,6 +140,8 @@ class FusedWidePipeline(Node):
                 float(np.float32(1.0) / np.float32(RMS_WINDOW_SIZE)),
             )
             self._lag = RMS_WINDOW_SIZE // C
+            assert agc_ring in ("bf16", "f32")
+            self._agc_ring = agc_ring
             half = LANES // 2
             # lane permutation: new lane l = c*half + s <- old row s*C + c;
             # unused stream slots point at a zero row of the padded data
@@ -256,7 +259,15 @@ class FusedWidePipeline(Node):
             state["agc"] = (
                 jnp.zeros((12, 128), dtype=dt).at[8:12].set(1.0)
             )
-            state["ring"] = jnp.zeros((rs_slots, mto, 8, 128), dtype=dt)
+            # RMS sq-history ring: bf16 halves the per-block HBM ring
+            # traffic (the dominant fused-AGC cost); the running window
+            # sum adds and later subtracts the SAME quantized square, so
+            # there is no drift — only ~2^-9-relative noise on the
+            # 8192-sample mean, inside the documented 2e-5 AGC parity
+            # contract for program material. agc_ring="f32" keeps the
+            # exact mode.
+            rdt = jnp.bfloat16 if self._agc_ring == "bf16" else dt
+            state["ring"] = jnp.zeros((rs_slots, mto, 8, 128), dtype=rdt)
             state["agc_par"] = jnp.asarray(self._agc_params, dtype=dt)
         return state
 
@@ -642,7 +653,8 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
                   scan_mode: str = "exact", with_agc: bool = False,
                   source_pcm: Optional[np.ndarray] = None,
                   max_block: int = 8192, lookahead: int = 4,
-                  precision: str = "auto", firfold="auto"):
+                  precision: str = "auto", firfold="auto",
+                  agc_ring: str = "bf16", m: int = 2):
     """Build (master_node, state) for the flagship pipeline.
 
     ``source_pcm``: optional [channels, frames] PCM at in_rate shared as the
@@ -678,7 +690,7 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
         fused = FusedWidePipeline(
             chain, out_rate, gains, n_streams, "low_pass", 2000.0, 0.5,
             with_agc=with_agc, lookahead=lookahead, precision=precision,
-            firfold=firfold,
+            firfold=firfold, agc_ring=agc_ring, m=m,
         )
         master = Limit(fused, LimitSettings(), mode="auto")
         return master, master.init_state()
