@@ -93,7 +93,13 @@ def lib() -> ctypes.CDLL:
               ctypes.c_longlong]),
             ("rtpu_ffs_seek", ctypes.c_int,
              [ctypes.c_void_p, ctypes.c_double]),
+            ("rtpu_ffs_param_change", ctypes.c_int,
+             [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint),
+              ctypes.POINTER(ctypes.c_uint)]),
             ("rtpu_ffs_close", None, [ctypes.c_void_p]),
+            ("rtpu_ff_encode_ogg", ctypes.c_int,
+             [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+              ctypes.c_longlong, ctypes.c_int, ctypes.c_int]),
         ]:
             fn = getattr(_lib, name)
             fn.restype = restype
@@ -124,20 +130,44 @@ class FfStream:
         self.channels = int(ch.value)
         self.sample_rate = int(rate.value)
         self.duration = float(dur.value) if dur.value > 0 else None
+        self._param_event = None
         self._L = L
 
     def read(self, max_frames: int) -> np.ndarray:
-        buf = np.empty(max_frames * self.channels, dtype=np.float32)
+        """Read up to max_frames at the CURRENT (channels, sample_rate).
+        A chained-container boundary (span change) ends the read early;
+        take_param_change() then reports the new spec, and subsequent
+        reads decode the next chain link. A 0-frame read with a pending
+        param change is a boundary, NOT end of stream."""
+        ch = self.channels
+        buf = np.empty(max_frames * ch, dtype=np.float32)
         got = self._L.rtpu_ffs_read(
             self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             max_frames,
         )
         if got < 0:
             raise ValueError(f"streaming decode error (code {got})")
+        nch = ctypes.c_uint()
+        nrt = ctypes.c_uint()
+        if self._L.rtpu_ffs_param_change(
+                self._h, ctypes.byref(nch), ctypes.byref(nrt)) == 1:
+            # span re-bootstrap point (src/source/span.rs:66-101): the
+            # wrapper tracks the NEW spec so later reads deinterleave
+            # correctly; callers poll take_param_change()
+            self._param_event = (int(nch.value), int(nrt.value))
+            self.channels = int(nch.value)
+            self.sample_rate = int(nrt.value)
         n = int(got)
         return np.ascontiguousarray(
-            buf[: n * self.channels].reshape(n, self.channels).T
+            buf[: n * ch].reshape(n, ch).T
         )
+
+    def take_param_change(self):
+        """(channels, rate) of the new chain link if a span boundary was
+        crossed since the last call, else None. Clears the event."""
+        e = self._param_event
+        self._param_event = None
+        return e
 
     def seek(self, seconds: float) -> None:
         rc = self._L.rtpu_ffs_seek(self._h, float(seconds))
@@ -156,12 +186,34 @@ class FfStream:
             pass
 
     def chunks(self, chunk_frames: int):
-        """Iterator of [channels, chunk] blocks to end of stream."""
+        """Iterator of [channels, chunk] blocks to end of stream. Spans
+        are transparent: a chained-container boundary continues into the
+        next link (block channel counts may change mid-iteration; poll
+        take_param_change() between blocks to observe it)."""
         while True:
             blk = self.read(chunk_frames)
             if blk.shape[1] == 0:
+                if self._param_event is not None:
+                    continue  # span boundary, not end of stream
                 return
             yield blk
+
+
+def encode_ogg(path, pcm, rate: int) -> None:
+    """Write [C, T] f32 PCM as FLAC-in-Ogg (s16-quantized, lossless
+    thereafter). Fixture writer: concatenating two outputs produces a
+    CHAINED ogg for span re-bootstrap tests."""
+    L = lib()
+    pcm = np.asarray(pcm, np.float32)
+    channels, frames = pcm.shape
+    inter = np.ascontiguousarray(pcm.T).reshape(-1)
+    rc = L.rtpu_ff_encode_ogg(
+        str(path).encode(),
+        inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(frames), int(channels), int(rate),
+    )
+    if rc != 0:
+        raise ValueError(f"ogg encode failed (code {rc})")
 
 
 def ff_decode(data: bytes) -> Tuple[np.ndarray, int]:

@@ -338,8 +338,13 @@ class StreamingDecoder(StreamingFeed):
                 )
         else:
             from .native import FfStream
+            from .uniform_host import SpanUniformStream
 
-            stream = FfStream(path)
+            # chained containers (multi-link ogg) re-bootstrap to the
+            # first link's spec at every span boundary, the reference's
+            # UniformSourceIterator-over-spans behavior
+            # (src/source/span.rs:66-101)
+            stream = SpanUniformStream(FfStream(path))
             spec = StreamSpec(stream.channels, stream.sample_rate)
             if start_at:
                 stream.seek(start_at)

@@ -15,6 +15,7 @@ extern "C" {
 #include <libavutil/opt.h>
 }
 
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -129,6 +130,13 @@ int rtpu_ff_decode(const uint8_t* data, size_t len, float** out_pcm,
     avio_context_free(&avio);
     return -2;
   }
+  // container edit lists / encoder-delay trims (AAC priming) ride
+  // AV_PKT_DATA_SKIP_SAMPLES side data, which the generic decode layer
+  // applies automatically — but only if the demuxer is asked to attach
+  // it. This makes m4a durations match symphonia's gapless output
+  // (/root/reference/src/decoder/symphonia.rs:339-363 honors the same
+  // container delay/trim).
+  av_format_inject_global_side_data(fmt);
   if (avformat_find_stream_info(fmt, nullptr) < 0) rc = -3;
 
   int stream_idx = -1;
@@ -142,6 +150,7 @@ int rtpu_ff_decode(const uint8_t* data, size_t len, float** out_pcm,
   AVCodecContext* ctx = nullptr;
   std::vector<float> pcm;
   unsigned channels = 0, rate = 0;
+  int64_t declared_frames = -1;
   if (rc >= 0) {
     ctx = avcodec_alloc_context3(codec);
     avcodec_parameters_to_context(ctx, fmt->streams[stream_idx]->codecpar);
@@ -151,6 +160,19 @@ int rtpu_ff_decode(const uint8_t* data, size_t len, float** out_pcm,
     channels = (unsigned)ctx->ch_layout.nb_channels;
     rate = (unsigned)ctx->sample_rate;
     if (channels == 0 || rate == 0) rc = -6;
+  }
+  if (rc >= 0 && fmt->iformat && fmt->iformat->name &&
+      strstr(fmt->iformat->name, "mp4")) {
+    // AAC priming: mp4 track headers declare the TRUE sample count
+    // (raw AAC rounds up to whole 1024-sample frames); symphonia
+    // reports and plays the declared duration
+    // (/root/reference/src/decoder/symphonia.rs:339-363,
+    // tests/total_duration.rs:43 = 10.188662131 s for music.m4a).
+    // Trim the decode to it when the excess is priming/padding-sized.
+    AVStream* st = fmt->streams[stream_idx];
+    if (st->duration > 0)
+      declared_frames = av_rescale_q(
+          st->duration, st->time_base, AVRational{1, (int)rate});
   }
 
   if (rc >= 0) {
@@ -196,6 +218,14 @@ int rtpu_ff_decode(const uint8_t* data, size_t len, float** out_pcm,
   }
   if (rc < 0 && rc != -7) return rc;
   if (pcm.empty()) return -8;
+  if (declared_frames > 0) {
+    size_t decoded = pcm.size() / channels;
+    size_t excess = decoded > (size_t)declared_frames
+                        ? decoded - (size_t)declared_frames
+                        : 0;
+    if (excess > 0 && excess <= 4096)
+      pcm.resize((size_t)declared_frames * channels);
+  }
 
   float* out = (float*)malloc(pcm.size() * sizeof(float));
   if (!out) return -9;
@@ -236,9 +266,46 @@ struct FfStream {
   unsigned rate = 0;
   bool draining = false;
   bool eof = false;
+  int64_t declared_frames = -1;  // mp4 priming trim (see rtpu_ff_decode)
+  int64_t emitted = 0;           // frames handed to the caller
+  bool is_ogg = false;           // chained-stream switching applies
+  AVPacket* pending = nullptr;   // first packet of the NEXT chain link
+  int next_stream = -1;
+  int param_changed = 0;
   std::vector<float> leftover;  // interleaved remainder of the last frame
   size_t leftover_pos = 0;
 };
+
+// Chained-container continuation (the ogg demuxer surfaces each chain
+// link as a NEW AVStream): open the next link's codec and report a
+// parameter-change boundary — the analog of the reference's per-packet
+// span re-bootstrap (src/decoder/symphonia.rs:197-199 reports spec per
+// packet; src/source/span.rs:66-101 resets downstream state there).
+int switch_stream(FfStream* s) {
+  AVStream* st = s->fmt->streams[s->next_stream];
+  const AVCodec* codec = avcodec_find_decoder(st->codecpar->codec_id);
+  if (!codec) return -1;
+  AVCodecContext* nc = avcodec_alloc_context3(codec);
+  if (!nc) return -1;
+  avcodec_parameters_to_context(nc, st->codecpar);
+  if (avcodec_open2(nc, codec, nullptr) < 0) {
+    avcodec_free_context(&nc);
+    return -1;
+  }
+  avcodec_free_context(&s->ctx);
+  s->ctx = nc;
+  s->stream_idx = s->next_stream;
+  s->next_stream = -1;
+  s->channels = (unsigned)nc->ch_layout.nb_channels;
+  s->rate = (unsigned)nc->sample_rate;
+  s->draining = false;
+  s->param_changed = 1;
+  if (s->pending) {
+    avcodec_send_packet(s->ctx, s->pending);
+    av_packet_free(&s->pending);
+  }
+  return 0;
+}
 
 }  // namespace
 
@@ -253,6 +320,7 @@ void* rtpu_ffs_open(const char* path, unsigned* out_channels,
     delete s;
     return nullptr;
   }
+  av_format_inject_global_side_data(s->fmt);  // AAC priming/edit lists
   if (avformat_find_stream_info(s->fmt, nullptr) < 0) goto fail;
   {
     const AVCodec* codec = nullptr;
@@ -267,6 +335,15 @@ void* rtpu_ffs_open(const char* path, unsigned* out_channels,
     s->rate = (unsigned)s->ctx->sample_rate;
     if (s->channels == 0 || s->rate == 0) goto fail;
   }
+  if (s->fmt->iformat && s->fmt->iformat->name &&
+      strstr(s->fmt->iformat->name, "mp4")) {
+    AVStream* st = s->fmt->streams[s->stream_idx];
+    if (st->duration > 0)
+      s->declared_frames = av_rescale_q(
+          st->duration, st->time_base, AVRational{1, (int)s->rate});
+  }
+  s->is_ogg = s->fmt->iformat && s->fmt->iformat->name &&
+              strcmp(s->fmt->iformat->name, "ogg") == 0;
   s->pkt = av_packet_alloc();
   s->frame = av_frame_alloc();
   *out_channels = s->channels;
@@ -287,6 +364,7 @@ fail:
 long long rtpu_ffs_read(void* handle, float* out, long long max_frames) {
   FfStream* s = (FfStream*)handle;
   if (!s || max_frames <= 0) return -1;
+  const unsigned ch_at_entry = s->channels;
   const size_t want = (size_t)max_frames * s->channels;
   size_t got = 0;
 
@@ -306,23 +384,54 @@ long long rtpu_ffs_read(void* handle, float* out, long long max_frames) {
         s->draining = true;
         avcodec_send_packet(s->ctx, nullptr);  // flush
       } else if (s->pkt->stream_index != s->stream_idx) {
-        av_packet_unref(s->pkt);
-        continue;
+        AVStream* ps = s->fmt->streams[s->pkt->stream_index];
+        if (s->is_ogg && s->next_stream < 0 &&
+            ps->codecpar->codec_type == AVMEDIA_TYPE_AUDIO &&
+            s->pkt->stream_index > s->stream_idx) {
+          // next chain link: stash its first packet, drain the current
+          // codec, then switch at the boundary (span re-bootstrap)
+          s->pending = av_packet_clone(s->pkt);
+          s->next_stream = s->pkt->stream_index;
+          av_packet_unref(s->pkt);
+          s->draining = true;
+          avcodec_send_packet(s->ctx, nullptr);
+        } else {
+          av_packet_unref(s->pkt);
+          continue;
+        }
       } else {
         avcodec_send_packet(s->ctx, s->pkt);  // errors skipped below
         av_packet_unref(s->pkt);
       }
     }
     int r = avcodec_receive_frame(s->ctx, s->frame);
-    if (r == AVERROR(EAGAIN)) {
-      if (s->draining) {
-        s->eof = true;
-        break;
+    if (r == AVERROR(EAGAIN) || r == AVERROR_EOF || r < 0) {
+      bool done = (r != AVERROR(EAGAIN)) || s->draining;
+      if (!done) continue;
+      if (s->next_stream >= 0) {
+        if (switch_stream(s) < 0) s->eof = true;
+        break;  // boundary: the caller observes the param change
       }
-      continue;
-    }
-    if (r == AVERROR_EOF || r < 0) {
       s->eof = true;
+      break;
+    }
+    // in-band parameter change (self-describing codecs like FLAC keep
+    // decoding across an ogg chain boundary with the new spec carried
+    // on the FRAME): stop at the boundary, hold the first new-section
+    // frame in the leftover buffer, and report the span change
+    // (src/decoder/symphonia.rs:197-199 reports spec per packet)
+    if ((s->frame->sample_rate > 0 &&
+         (unsigned)s->frame->sample_rate != s->rate) ||
+        (s->frame->ch_layout.nb_channels > 0 &&
+         (unsigned)s->frame->ch_layout.nb_channels != s->channels)) {
+      unsigned nch = (unsigned)s->frame->ch_layout.nb_channels;
+      std::vector<float> nb;
+      if (!append_frame(s->frame, (int)nch, nb)) return -2;
+      s->leftover = std::move(nb);
+      s->leftover_pos = 0;
+      s->channels = nch;
+      s->rate = (unsigned)s->frame->sample_rate;
+      s->param_changed = 1;
       break;
     }
     std::vector<float> buf;
@@ -336,7 +445,15 @@ long long rtpu_ffs_read(void* handle, float* out, long long max_frames) {
       s->leftover_pos = 0;
     }
   }
-  return (long long)(got / s->channels);
+  long long frames = (long long)(got / ch_at_entry);
+  if (s->declared_frames > 0) {
+    // cap at the declared mp4 duration (AAC padding tail)
+    long long left = s->declared_frames - s->emitted;
+    if (left < 0) left = 0;
+    if (frames > left) frames = left;
+  }
+  s->emitted += frames;
+  return frames;
 }
 
 int rtpu_ffs_seek(void* handle, double seconds) {
@@ -350,17 +467,117 @@ int rtpu_ffs_seek(void* handle, double seconds) {
   s->eof = false;
   s->leftover.clear();
   s->leftover_pos = 0;
+  // position for the declared-duration cap: the demuxer-coarse seek
+  // lands at a keyframe at/below ts; approximate by the request (the
+  // cap only matters near the stream tail)
+  s->emitted = (int64_t)(seconds * s->rate);
   return 0;
+}
+
+int rtpu_ffs_param_change(void* handle, unsigned* out_channels,
+                          unsigned* out_rate) {
+  FfStream* s = (FfStream*)handle;
+  if (!s) return -1;
+  if (!s->param_changed) return 0;
+  s->param_changed = 0;
+  *out_channels = s->channels;
+  *out_rate = s->rate;
+  return 1;
 }
 
 void rtpu_ffs_close(void* handle) {
   FfStream* s = (FfStream*)handle;
   if (!s) return;
+  if (s->pending) av_packet_free(&s->pending);
   if (s->frame) av_frame_free(&s->frame);
   if (s->pkt) av_packet_free(&s->pkt);
   if (s->ctx) avcodec_free_context(&s->ctx);
   if (s->fmt) avformat_close_input(&s->fmt);
   delete s;
+}
+
+// ---------------------------------------------------------------------------
+// Ogg/FLAC fixture encoder (tests only): lossless s16 content in an Ogg
+// container, so concatenating two outputs yields a CHAINED ogg — the
+// fixture for span re-bootstrap tests. Returns 0 on success.
+// ---------------------------------------------------------------------------
+int rtpu_ff_encode_ogg(const char* path, const float* pcm,
+                       long long frames, int channels, int rate) {
+  av_log_set_level(AV_LOG_ERROR);
+  AVFormatContext* fmt = nullptr;
+  if (avformat_alloc_output_context2(&fmt, nullptr, "ogg", path) < 0)
+    return -1;
+  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_FLAC);
+  if (!codec) {
+    avformat_free_context(fmt);
+    return -2;
+  }
+  AVStream* st = avformat_new_stream(fmt, codec);
+  AVCodecContext* ctx = avcodec_alloc_context3(codec);
+  ctx->sample_fmt = AV_SAMPLE_FMT_S16;
+  ctx->sample_rate = rate;
+  av_channel_layout_default(&ctx->ch_layout, channels);
+  ctx->time_base = AVRational{1, rate};
+  int rc = avcodec_open2(ctx, codec, nullptr);
+  if (rc >= 0) rc = avcodec_parameters_from_context(st->codecpar, ctx);
+  if (rc >= 0) rc = avio_open(&fmt->pb, path, AVIO_FLAG_WRITE);
+  if (rc >= 0) rc = avformat_write_header(fmt, nullptr);
+  if (rc >= 0) {
+    AVFrame* fr = av_frame_alloc();
+    AVPacket* pkt = av_packet_alloc();
+    int fs = ctx->frame_size > 0 ? ctx->frame_size : 4096;
+    long long pos = 0;
+    bool flushed = false;
+    while (rc >= 0) {
+      if (pos < frames) {
+        int n = (int)(frames - pos < fs ? frames - pos : fs);
+        fr->nb_samples = n;
+        fr->format = AV_SAMPLE_FMT_S16;
+        av_channel_layout_copy(&fr->ch_layout, &ctx->ch_layout);
+        fr->sample_rate = rate;
+        if (av_frame_get_buffer(fr, 0) < 0) {
+          rc = -3;
+          break;
+        }
+        int16_t* dst = (int16_t*)fr->data[0];
+        for (int i = 0; i < n * channels; ++i) {
+          float v = pcm[(size_t)pos * channels + i] * 32767.0f;
+          if (v > 32767.0f) v = 32767.0f;
+          if (v < -32768.0f) v = -32768.0f;
+          dst[i] = (int16_t)lrintf(v);
+        }
+        fr->pts = pos;
+        pos += n;
+        rc = avcodec_send_frame(ctx, fr);
+        av_frame_unref(fr);
+      } else if (!flushed) {
+        avcodec_send_frame(ctx, nullptr);
+        flushed = true;
+      }
+      while (rc >= 0) {
+        int r = avcodec_receive_packet(ctx, pkt);
+        if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) {
+          if (r == AVERROR_EOF) rc = 1;  // done
+          break;
+        }
+        if (r < 0) {
+          rc = -4;
+          break;
+        }
+        av_packet_rescale_ts(pkt, ctx->time_base, st->time_base);
+        pkt->stream_index = st->index;
+        if (av_interleaved_write_frame(fmt, pkt) < 0) rc = -5;
+      }
+      if (rc == 1 || rc < 0) break;
+    }
+    av_packet_free(&pkt);
+    av_frame_free(&fr);
+    if (rc == 1) rc = av_write_trailer(fmt);
+  }
+  avcodec_free_context(&ctx);
+  if (fmt->pb) avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return rc < 0 ? rc : 0;
 }
 
 }  // extern "C"

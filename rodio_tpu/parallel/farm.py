@@ -28,133 +28,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from ..core.types import StreamSpec
-
-
-def _rechannel_np(block: np.ndarray, to_channels: int) -> np.ndarray:
-    """Positional channel up/down mix, numpy mirror of
-    conversions/channels.py:rechannel_block (src/conversions/channels.rs
-    semantics: mono->N duplicates ch0 into ch1, zero-fills ch>=2; N->M
-    keeps the first M)."""
-    fc = block.shape[0]
-    if fc == to_channels:
-        return block
-    rows = []
-    for c in range(to_channels):
-        if c < fc:
-            rows.append(block[c])
-        elif c == 1 and fc == 1:
-            rows.append(block[0])
-        else:
-            rows.append(np.zeros_like(block[0]))
-    return np.stack(rows, axis=0)
-
-
-class _UniformStream:
-    """Host-side per-stream uniformization to (channels, rate) at farm
-    ingest — the reference's UniformSourceIterator applied per source
-    (src/source/uniform.rs:33-97): rational-lerp resample at the
-    source's OWN channel count, then positional rechannel (the
-    composition order of conversions/uniform.py).
-
-    The resampler mirrors the engine's closed form
-    (conversions/resample.py: left = c*fr + (fr*j)//to,
-    frac = f32(((fr*j) % to) / to), out = (1-frac)*x_l + frac*x_r,
-    plus the end-of-stream drain rule) in vectorized f32 numpy, so a
-    heterogeneous farm matches per-stream engine Uniform chains to
-    f32-rounding order (~1 ulp per lerp).
-
-    Presents the FfStream surface the farm pool uses (read/seek/close,
-    channels/sample_rate attributes).
-    """
-
-    def __init__(self, stream, channels: int, rate: int):
-        import math
-
-        self._s = stream
-        self.channels = int(channels)
-        self.sample_rate = int(rate)
-        g = math.gcd(stream.sample_rate, rate)
-        self._fr = stream.sample_rate // g
-        self._to = rate // g
-        self._reset()
-
-    def _reset(self):
-        self._o = 0            # next output frame index
-        self._base = 0         # global input index of self._buf[:, 0]
-        self._buf = np.zeros((self._s.channels, 0), np.float32)
-        self._n_in = None      # total input frames, known at source EOF
-        self._drained = False
-
-    def _left(self, o: int) -> int:
-        c, j = divmod(o, self._to)
-        return c * self._fr + (self._fr * j) // self._to
-
-    def read(self, n: int) -> np.ndarray:
-        if self._fr == self._to:
-            return _rechannel_np(self._s.read(n), self.channels)
-        if self._drained or n <= 0:
-            return np.zeros((self.channels, 0), np.float32)
-        fr, to = self._fr, self._to
-        o0 = self._o
-        need_right = self._left(o0 + n - 1) + 1
-        while (self._n_in is None
-               and self._base + self._buf.shape[1] <= need_right):
-            want = need_right - (self._base + self._buf.shape[1]) + 1
-            blk = self._s.read(max(want, 8192))
-            if blk.shape[1] < max(want, 8192):
-                self._n_in = (self._base + self._buf.shape[1]
-                              + blk.shape[1])
-            if blk.shape[1]:
-                self._buf = np.concatenate([self._buf, blk], axis=1)
-
-        drain_tail = None
-        if self._n_in is not None:
-            from ..conversions.resample import _resample_counts
-
-            n_full, has_drain = _resample_counts(self._n_in, fr, to)
-            k = min(n, max(n_full - o0, 0))
-            if (has_drain and o0 + k == n_full and k < n
-                    and self._base + self._buf.shape[1] == self._n_in
-                    and self._n_in > self._base):
-                # drain rule (src/conversions/sample_rate.rs:192-200):
-                # the final input frame is emitted once, unmodified
-                drain_tail = self._buf[:, self._n_in - self._base - 1]
-                self._drained = True
-            elif k < n:
-                self._drained = True
-        else:
-            k = n
-
-        if k > 0:
-            o = np.arange(o0, o0 + k, dtype=np.int64)
-            c, j = np.divmod(o, to)
-            left = c * fr + (fr * j) // to - self._base
-            frac = ((fr * j) % to).astype(np.float32) / np.float32(to)
-            xl = self._buf[:, left]
-            xr = self._buf[:, left + 1]
-            out = (np.float32(1.0) - frac)[None, :] * xl \
-                + frac[None, :] * xr
-            self._o = o0 + k
-        else:
-            out = np.zeros((self._s.channels, 0), np.float32)
-        if drain_tail is not None:
-            out = np.concatenate([out, drain_tail[:, None]], axis=1)
-            self._o += 1
-        # retire input below the next output's left neighbor
-        new_base = self._left(self._o)
-        if new_base > self._base:
-            self._buf = self._buf[:, new_base - self._base :]
-            self._base = new_base
-        return _rechannel_np(np.ascontiguousarray(out), self.channels)
-
-    def seek(self, seconds: float):
-        """Demuxer-coarse seek + span restart (phase resets to 0, the
-        reference's span re-bootstrap at a seek)."""
-        self._s.seek(seconds)
-        self._reset()
-
-    def close(self):
-        self._s.close()
+from ..io.uniform_host import _UniformStream, _rechannel_np  # noqa: F401
 
 
 def _find_state_with(state, keys):
@@ -205,12 +79,15 @@ class StreamFarm:
                  decode_workers: int = 8, wire: str = "f32",
                  fused: bool = False):
         from ..io.native import FfStream
+        from ..io.uniform_host import SpanUniformStream
 
         self.paths = list(paths)
         S = len(self.paths)
         self._streams: List[FfStream] = []
         for i, p in enumerate(self.paths):
-            s = FfStream(p)
+            # SpanUniformStream pins chained containers to their first
+            # link's spec (span re-bootstrap at every boundary)
+            s = SpanUniformStream(FfStream(p))
             if start_offsets is not None and start_offsets[i]:
                 s.seek(start_offsets[i])
             self._streams.append(s)

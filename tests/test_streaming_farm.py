@@ -276,3 +276,90 @@ def test_stream_farm_fused_matches_unfused():
     assert n == 8 * 1280
     np.testing.assert_allclose(outs[True][:, :n], outs[False][:, :n],
                                atol=2e-6)
+
+
+def _q16(x):
+    return (np.clip(np.round(x * 32767.0), -32768, 32767)
+            .astype(np.int16).astype(np.float32) / 32768.0)
+
+
+def test_chained_ogg_span_rebootstrap(tmp_path):
+    """VERDICT r2 item 7: a chained ogg whose links change BOTH rate and
+    channels streams with per-section re-bootstrap — section 1 verbatim,
+    section 2 uniformized to the first link's spec with a fresh
+    converter, exactly the engine's Uniform over the decoded section
+    (src/source/span.rs:66-101, symphonia.rs:197-199 semantics)."""
+    _skip_without_native()
+    from rodio_tpu.conversions.uniform import Uniform
+    from rodio_tpu.graph.render import render
+    from rodio_tpu.io.native import FfStream, encode_ogg
+    from rodio_tpu.io.uniform_host import SpanUniformStream
+    from rodio_tpu.sources.generators import SamplesBuffer
+
+    rng = np.random.default_rng(3)
+    a = (rng.standard_normal((2, 44100)) * 0.4).astype(np.float32)
+    b = (rng.standard_normal((1, 11025)) * 0.4).astype(np.float32)
+    pa, pb = str(tmp_path / "a.ogg"), str(tmp_path / "b.ogg")
+    encode_ogg(pa, a, 44100)
+    encode_ogg(pb, b, 22050)
+    chained = str(tmp_path / "chained.ogg")
+    with open(chained, "wb") as f:
+        f.write(open(pa, "rb").read())
+        f.write(open(pb, "rb").read())
+
+    # raw FfStream surfaces the boundary event with the new spec
+    s = FfStream(chained)
+    assert (s.channels, s.sample_rate) == (2, 44100)
+    n1 = 0
+    while True:
+        blk = s.read(4096)
+        ev = s.take_param_change()
+        if ev:
+            assert ev == (1, 22050)
+            assert n1 + blk.shape[1] == 44100
+            break
+        assert blk.shape[1] > 0, "stream ended before the boundary"
+        n1 += blk.shape[1]
+    s.close()
+
+    # SpanUniformStream pins the spec and re-bootstraps per section
+    su = SpanUniformStream(FfStream(chained))
+    parts = []
+    while True:
+        blk = su.read(4096)
+        if blk.shape[1] == 0:
+            break
+        assert blk.shape[0] == 2
+        parts.append(blk)
+    su.close()
+    got = np.concatenate(parts, axis=1)
+
+    exp_b = render(Uniform(SamplesBuffer(1, 22050, _q16(b)), 2, 44100))
+    exp = np.concatenate([_q16(a), np.asarray(exp_b)], axis=1)
+    assert got.shape == exp.shape
+    np.testing.assert_allclose(got, exp, atol=2e-7)
+
+
+def test_chained_ogg_in_farm(tmp_path):
+    """A farm stream over a chained file keeps producing across the
+    boundary at the pinned spec."""
+    _skip_without_native()
+    from rodio_tpu.io.native import encode_ogg
+    from rodio_tpu.parallel.farm import StreamFarm
+
+    rng = np.random.default_rng(5)
+    a = (rng.standard_normal((2, 22050)) * 0.4).astype(np.float32)
+    b = (rng.standard_normal((2, 11025)) * 0.4).astype(np.float32)
+    pa, pb = str(tmp_path / "a.ogg"), str(tmp_path / "b.ogg")
+    encode_ogg(pa, a, 44100)
+    encode_ogg(pb, b, 22050)
+    chained = str(tmp_path / "chained.ogg")
+    with open(chained, "wb") as f:
+        f.write(open(pa, "rb").read())
+        f.write(open(pb, "rb").read())
+
+    farm = StreamFarm([chained, ASSET], block_frames=1024, loop=False,
+                      decode_workers=2)
+    valid, energy, overflow = farm.run(8)
+    farm.close()
+    assert valid == 8 * 1024 and energy > 0 and not overflow
