@@ -57,6 +57,27 @@ def _source_seconds(chain, seconds: float) -> float:
     return seconds
 
 
+def _chain_pre_roll(chain, default: float = 0.25,
+                    cap: float = 60.0) -> float:
+    """Pre-roll warmup scaled to the chain's SLOWEST time constant
+    (round-2 weakness #6): a 0.25 s warmup cannot converge a 4 s AGC
+    attack, leaving the post-seek gain audibly off the keep-state
+    semantics. Each stateful wrapper contributes 10 time constants
+    (exponential envelopes settle to e^-10 ~ 5e-5 of the initial gap,
+    inside the 1e-4 post-seek parity bound); the biquad's memory is
+    milliseconds and stays inside the default. Still O(1) in position —
+    a worst-case 60 s replay is ~350 blocks, milliseconds on device."""
+    pre = default
+    for w in chain:
+        s = getattr(w, "settings", None)
+        for attr in ("attack_time", "release_time",  # AGC (agc.rs)
+                     "attack", "release"):           # Limit (limit.rs)
+            v = getattr(s, attr, None)
+            if isinstance(v, (int, float)) and v > 0:
+                pre = max(pre, 10.0 * float(v))
+    return min(pre, cap)
+
+
 def _chain_block_cap(chain, source, step_frames: int) -> int:
     """Largest replay block every node in the chain accepts (ring-based
     nodes assert n <= max_block)."""
@@ -83,14 +104,18 @@ def _replace_deepest(state, keys, new_sub):
 
 
 def seek_state(node: Node, seconds: float, *, step_frames: int = 8192,
-               pre_roll: float = 0.25,
+               pre_roll: Optional[float] = None,
                varispeed_ratio: Optional[float] = None):
     """Return a state positioned at ``seconds`` (saturating at the end,
     matching the reference's saturation contract,
     src/source/mod.rs:739-742). O(pre_roll) when the chain's source has
     an O(1) ``seek_state``; O(position) full replay otherwise.
-    ``varispeed_ratio``: the live ratio of a VariSpeed stage in the
-    chain, if the caller has changed it since construction."""
+    ``pre_roll``: warmup seconds; default (None) scales to the chain's
+    slowest attack/release time constant (min 0.25 s), so AGC/limiter
+    envelopes converge before the target instead of landing at an
+    audibly wrong gain. ``varispeed_ratio``: the live ratio of a
+    VariSpeed stage in the chain, if the caller has changed it since
+    construction."""
     rate = node.spec.sample_rate
     target = int(seconds * rate)
     total = node.total_frames()
@@ -100,6 +125,8 @@ def seek_state(node: Node, seconds: float, *, step_frames: int = 8192,
         return node.init_state()
 
     chain, source = _innermost(node)
+    if pre_roll is None:
+        pre_roll = _chain_pre_roll(chain)
     if varispeed_ratio is not None:
         # scope the live ratio over BOTH the position mapping and the
         # state rebuild (VariSpeed.init_state seeds its traced ratio
