@@ -185,13 +185,16 @@ class DeviceSinkBuilder:
 
     @classmethod
     def open_default_sink(cls) -> MixerDeviceSink:
-        """(src/stream.rs:247) — OS audio (ALSA) when the host has a
-        sound device; the realtime-paced null sink otherwise (TPU hosts
+        """(src/stream.rs:247) — OS audio when the host has it, probed
+        in cpal's Linux order (PulseAudio/PipeWire daemon first, raw
+        ALSA second); the realtime-paced null sink otherwise (TPU hosts
         in production racks have no sound hardware)."""
         builder = cls()
-        from . import alsa
+        from . import alsa, pulse
 
-        if alsa.available():
+        if pulse.available():
+            builder._backend = pulse.PulseDevice()
+        elif alsa.available():
             builder._backend = alsa.AlsaDevice()
         return builder.open()
 
@@ -201,6 +204,15 @@ class DeviceSinkBuilder:
         from .alsa import AlsaDevice
 
         self._backend = AlsaDevice(device, **kw)
+        return self
+
+    def to_pulse(self, device: Optional[str] = None,
+                 **kw) -> "DeviceSinkBuilder":
+        """Explicit PulseAudio/PipeWire backend (io/pulse.py); raises
+        where libpulse-simple is absent."""
+        from .pulse import PulseDevice
+
+        self._backend = PulseDevice(device, **kw)
         return self
 
     def with_backend(self, backend: _Backend) -> "DeviceSinkBuilder":
