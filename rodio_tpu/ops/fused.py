@@ -109,8 +109,7 @@ def _fused_agc_kernel(c0_ref, k0_ref, agcp_ref, c_ref, chunks_ref, xn_ref,
                       ring_in_ref,
                       out_ref, out_state_ref, out_agc_ref, ring_ref,
                       carry, xraw, x_scr, y_scr, sems,
-                      agc_carry, old_scr, sq_scr, rs_scr, pk_scr,
-                      rsems, wsems,
+                      agc_carry, old_scr, sq_scr, rsems, wsems,
                       *, m: int, to: int, precision, int3: bool,
                       lookahead: int, rs_slots: int, lag: int,
                       bfold: bool = False, wsplit: bool = False,
@@ -134,8 +133,7 @@ def _fused_agc_kernel(c0_ref, k0_ref, agcp_ref, c_ref, chunks_ref, xn_ref,
                 agc=True, agcp_ref=agcp_ref,
                 k0_ref=k0_ref, agc_ref=agc_ref, ring_ref=ring_ref,
                 out_agc_ref=out_agc_ref, agc_carry=agc_carry,
-                old_scr=old_scr, sq_scr=sq_scr, rs_scr=rs_scr,
-                pk_scr=pk_scr, rsems=rsems, wsems=wsems,
+                old_scr=old_scr, sq_scr=sq_scr, rsems=rsems, wsems=wsems,
                 rs_slots=rs_slots, lag=lag)
 
 
@@ -152,8 +150,7 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 agc=None, agcp_ref=None, k0_ref=None, agc_ref=None,
                 ring_ref=None,
                 out_agc_ref=None, agc_carry=None, old_scr=None,
-                sq_scr=None, rs_scr=None, pk_scr=None,
-                rsems=None, wsems=None,
+                sq_scr=None, rsems=None, wsems=None,
                 rs_slots: int = 0, lag: int = 0):
     """One sequential time-grid step: m chunk DMAs -> resample -> biquad
     -> mix. All compute is time-major.
@@ -253,22 +250,18 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
             xraw.at[slot], sems.at[slot],
         ).start()
 
-    # the AGC variant's extra scratches (bf16 ring buffers + per-sub-
-    # step rs/pk rows) leave VMEM headroom for only a 2-deep DMA
-    # pipeline; the plain kernel keeps the 3-deep one
-    NSLOT = 2 if agc is not None else 3
-    AHEAD = NSLOT - 1
+    NSLOT = 3
     slot = jax.lax.rem(t_idx, NSLOT)
 
     @pl.when(t_idx == 0)
     def _warm():
         _start(t_idx, slot)
-        if NSLOT > 2 and n_t > 1:
+        if n_t > 1:
             _start(t_idx + 1, jax.lax.rem(t_idx + 1, NSLOT))
 
-    @pl.when(t_idx + AHEAD < n_t)
+    @pl.when(t_idx + 2 < n_t)
     def _prefetch():
-        _start(t_idx + AHEAD, jax.lax.rem(t_idx + AHEAD, NSLOT))
+        _start(t_idx + 2, jax.lax.rem(t_idx + 2, NSLOT))
 
     # 2: resample each chunk on the MXU, stage time-major
     if not int3:
@@ -525,7 +518,7 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
 
         # stage A (vector, full-width): publish this step's squares and
         # precompute the per-sub-step RMS deltas d = sq - old into x_scr
-        # (dead after the IIR), so the serial chains below carry only
+        # (dead after the IIR), so the serial chain below carries only
         # the truly sequential ops. y*y == |y|*|y| in f32, and
         # rs + (sqv - old) reassociates nothing vs the per-sub-step
         # form. With a bf16 ring, the value ADDED to the running sum is
@@ -544,13 +537,18 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
             sqf = sqv
         x_scr[...] = sqf - old_scr[...].astype(dtv)
 
-        # stage B (serial): the interleaved running-sum and peak chains
-        # (agc.rs:397-444), per-sub-step values stored for stage C
+        # serial stage (agc.rs:397-496): running-sum + peak chains with
+        # the desired-gain computer hoisted per AW-group, then the
+        # data-dependent gain smoother. (A fully vectorized des phase
+        # with per-sub-step rs/pk scratches was measured SLOWER: its
+        # VMEM forced the chunk-DMA pipeline to 2-deep, losing more to
+        # DMA serialization than the half-vreg des ops cost.)
         crel = 1.0 - rel
 
-        def chain_loop(i, carrs):
-            rs, pk = carrs
+        def agc_loop(i, carrs):
+            rs, pk, g = carrs
             t0 = i * AW
+            vals = []
             for j in range(AW):
                 d = x_scr[t0 + j]
                 y = y_scr[t0 + j]
@@ -558,43 +556,32 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                     xs = jnp.abs(y[4 * c : 4 * c + 4])
                     rs = rs + d[4 * c : 4 * c + 4]
                     pk = jnp.maximum(xs, rel * pk + crel * xs)
-                    rs_scr[t0 + j, 4 * c : 4 * c + 4] = rs
-                    pk_scr[t0 + j, 4 * c : 4 * c + 4] = pk
-            return (rs, pk)
-
-        rs, pk = jax.lax.fori_loop(
-            0, mto // AW, chain_loop, (agc_carry[0:4], agc_carry[4:8])
-        )
-
-        # stage C (vector, full-width): the desired-gain computer
-        # (agc.rs:451-477) — rsqrt/div/min/max issued as full vregs over
-        # ALL sub-steps at once instead of [4,128] half-vreg ops inside
-        # the serial loop (half the issue count for the same math)
-        rsv = rs_scr[...]
-        pkv = pk_scr[...]
-        rg = jnp.where(rsv > 0.0, target * jax.lax.rsqrt(rsv * invw), mg)
-        pg = jnp.where(pkv > 0.0, jnp.minimum(target / pkv, mg), mg)
-        x_scr[...] = jnp.maximum(jnp.minimum(rg, pg), floor_)
-
-        # stage D (serial): the gain smoother (agc.rs:486-496) — the
-        # only chain whose coefficient is data-dependent (attack vs
-        # release by comparison against the running gain)
-        def gain_loop(i, g):
-            t0 = i * AW
+                    vals.append((rs, pk))
+            des = []
+            for rs_i, pk_i in vals:
+                rg = jnp.where(
+                    rs_i > 0.0, target * jax.lax.rsqrt(rs_i * invw), mg
+                )
+                pg = jnp.where(
+                    pk_i > 0.0, jnp.minimum(target / pk_i, mg), mg
+                )
+                des.append(jnp.maximum(jnp.minimum(rg, pg), floor_))
             for j in range(AW):
-                drow = x_scr[t0 + j]
                 y = y_scr[t0 + j]
                 for c in (0, 1):
-                    d = drow[4 * c : 4 * c + 4]
-                    speed = jnp.where(d > g, att, rel)
-                    g = g * speed + d * (1.0 - speed)
+                    dd = des[2 * j + c]
+                    speed = jnp.where(dd > g, att, rel)
+                    g = g * speed + dd * (1.0 - speed)
                     g = jnp.clip(g, 0.1, mg)
                     y_scr[t0 + j, 4 * c : 4 * c + 4] = (
                         y[4 * c : 4 * c + 4] * g
                     )
-            return g
+            return (rs, pk, g)
 
-        g = jax.lax.fori_loop(0, mto // AW, gain_loop, agc_carry[8:12])
+        rs, pk, g = jax.lax.fori_loop(
+            0, mto // AW, agc_loop,
+            (agc_carry[0:4], agc_carry[4:8], agc_carry[8:12]),
+        )
         agc_carry[0:4] = rs
         agc_carry[4:8] = pk
         agc_carry[8:12] = g
@@ -1149,12 +1136,10 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
             jax.ShapeDtypeStruct((12, 128), dt),
             jax.ShapeDtypeStruct(ring.shape, ring.dtype),
         ),
-        scratch_shapes=_common_scratch(P, m, to, nslot=2) + [
+        scratch_shapes=_common_scratch(P, m, to) + [
             pltpu.VMEM((12, 128), dt),            # agc carry
             pltpu.VMEM((mto, 8, 128), ring.dtype),  # old window
             pltpu.VMEM((2, mto, 8, 128), ring.dtype),  # sq (dbl-buffered)
-            pltpu.VMEM((mto, 8, 128), dt),        # per-sub-step rs
-            pltpu.VMEM((mto, 8, 128), dt),        # per-sub-step pk
             pltpu.SemaphoreType.DMA((2,)),        # ring reads
             pltpu.SemaphoreType.DMA((2,)),        # ring writes
         ],
