@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Drift-cancelling A/B for the fused flagship.
+
+benches/ab_firfold.py times each variant sequentially inside one
+process; that cancels PROCESS-level tunnel jitter (~13%) but not the
+minutes-scale drift WITHIN a process, which measured large enough to
+rank `no master limiter` slower than `with limiter` (impossible).
+
+This harness builds every variant first, warms them, then times them in
+ROUND-ROBIN order (A B C A B C ...) taking per-variant minima, so slow
+drift hits all variants equally. Differential (R2 vs R1 in-jit
+repetitions) per bench.py methodology.
+
+Env: AB_ONLY=name,name  AB_STREAMS  AB_BLOCK  AB_BLOCKS  AB_ROUNDS  AB_AGC
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from rodio_tpu.utils.platform import select_platform
+
+select_platform(os.environ.get("RODIO_TPU_PLATFORM", "axon"))
+
+
+def make_run(node, state, T, n_blocks, repeat):
+    def body(s, _):
+        s, out, v = node.emit(s, T)
+        return s, (jnp.sum(out * out), jnp.sum(v))
+
+    def render_once(s):
+        _, (energy, valid) = jax.lax.scan(body, s, None, length=n_blocks)
+        return jnp.sum(energy), jnp.sum(valid)
+
+    @jax.jit
+    def run(s0):
+        leaves, treedef = jax.tree_util.tree_flatten(s0)
+        i_f = next(i for i, l in enumerate(leaves)
+                   if jnp.issubdtype(l.dtype, jnp.floating))
+
+        def outer(_, acc):
+            e_prev, _v = acc
+            lv = list(leaves)
+            lv[i_f] = lv[i_f] + (e_prev * 0.0).astype(lv[i_f].dtype)
+            return render_once(jax.tree_util.tree_unflatten(treedef, lv))
+
+        return jax.lax.fori_loop(
+            0, repeat, outer, (jnp.float32(0.0), jnp.int32(0))
+        )
+
+    return lambda: run(state)
+
+
+def main():
+    from rodio_tpu.flagship import make_flagship
+    from rodio_tpu.io.wav import read_wav
+
+    n_streams = int(os.environ.get("AB_STREAMS", "512"))
+    T = int(os.environ.get("AB_BLOCK", "4160"))
+    n_blocks = int(os.environ.get("AB_BLOCKS", "40"))
+    rounds = int(os.environ.get("AB_ROUNDS", "6"))
+    with_agc = os.environ.get("AB_AGC", "0") == "1"
+    r1, r2 = 1, 6
+    seconds = (n_blocks * T / 48000.0) * (44100 / 48000.0) + 1.0
+    pcm = None
+    try:
+        pcm, _ = read_wav("/root/reference/assets/music.wav")
+    except Exception:
+        pass
+
+    catalog = [
+        ("la4", dict(firfold=False, lookahead=4)),
+        ("la4-seplimit", dict(firfold=False, lookahead=4,
+                              inkernel_limit=False)),
+        ("la4-nolimit", dict(firfold=False, lookahead=4,
+                             inkernel_limit=False, _unwrap=True)),
+        ("la8", dict(firfold=False, lookahead=8)),
+        ("la2", dict(firfold=False, lookahead=2)),
+        ("la4-int2", dict(firfold=False, lookahead=4, precision="int2")),
+        ("la4-m3", dict(firfold=False, lookahead=4, m=3, _T=4800)),
+        ("la4-ringf32", dict(firfold=False, lookahead=4, agc_ring="f32")),
+    ]
+    only = os.environ.get("AB_ONLY")
+    variants = [(n, k) for n, k in catalog
+                if not only or n in only.split(",")]
+
+    runs = []
+    for name, kw in variants:
+        unwrap = kw.pop("_unwrap", False)
+        T_v = kw.pop("_T", T)
+        node, state = make_flagship(
+            n_streams, seconds=seconds, scan_mode="fused",
+            source_pcm=pcm, with_agc=with_agc, **kw,
+        )
+        if unwrap:
+            node = node.input
+            state = node.init_state()
+        ra = make_run(node, state, T_v, n_blocks, r1)
+        rb = make_run(node, state, T_v, n_blocks, r2)
+        # warm (compile) both repetition counts
+        e, v = ra()
+        float(e)
+        e, v = rb()
+        float(e)
+        runs.append((name, T_v, ra, rb))
+        print(f"# built {name}", file=sys.stderr, flush=True)
+
+    best = {name: [float("inf"), float("inf")] for name, *_ in runs}
+    for _ in range(rounds):
+        for name, T_v, ra, rb in runs:
+            t0 = time.perf_counter()
+            e, v = ra()
+            float(e), float(v)
+            best[name][0] = min(best[name][0], time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            e, v = rb()
+            float(e), float(v)
+            best[name][1] = min(best[name][1], time.perf_counter() - t0)
+
+    for name, T_v, ra, rb in runs:
+        ta, tb = best[name]
+        per = (tb - ta) / ((r2 - r1) * n_blocks)
+        agg = (n_streams * T_v / 48000.0) / per
+        print(json.dumps({
+            "variant": name + ("+agc" if with_agc else ""),
+            "us_per_block": round(per * 1e6, 2),
+            "aggregate_x": round(agg, 0),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -30,12 +30,58 @@ def stream_mesh(devices: Optional[Sequence] = None, axis: str = "streams") -> Me
     return Mesh(np.array(devices), (axis,))
 
 
-def shard_batched_state(state: State, mesh: Mesh, axis: str = "streams") -> State:
+def hybrid_stream_mesh(n_hosts: int, devices: Optional[Sequence] = None,
+                       axes=("dcn", "streams")) -> Mesh:
+    """2-D mesh for multi-host stream farms: outer axis across hosts
+    (DCN), inner axis over each host's chips (ICI).
+
+    The stream axis shards over BOTH axes (``P(("dcn", "streams"))``), so
+    per-stream DSP stays embarrassingly parallel; the only cross-host
+    traffic is the final mix ``psum`` over the axis pair, which XLA
+    reduces hierarchically — the [C, T] partial mixes reduce over ICI
+    first, and only one tiny [C, T] block (~33 KB at T=4160) crosses DCN
+    per step. (Scaling-book recipe: lay out shardings so the heavy
+    collectives ride ICI, not DCN.)
+
+    On a real multi-host runtime the mesh comes from
+    ``mesh_utils.create_hybrid_device_mesh`` (groups each host's chips on
+    the inner axis, DCN-connected hosts on the outer); in a single
+    process the devices are reshaped ``[n_hosts, -1]`` so the same SPMD
+    program is testable on virtual devices.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    if len(devices) % n_hosts:
+        raise ValueError(f"{len(devices)} devices not divisible by "
+                         f"{n_hosts} hosts")
+    per_host = len(devices) // n_hosts
+    n_proc = len({d.process_index for d in devices})
+    if n_proc > 1:
+        from jax.experimental import mesh_utils
+
+        dm = mesh_utils.create_hybrid_device_mesh(
+            (1, per_host), (n_hosts, 1), devices=devices
+        )
+        return Mesh(dm, axes)
+    return Mesh(np.array(devices).reshape(n_hosts, per_host), axes)
+
+
+def _axes_tuple(axis) -> tuple:
+    return (axis,) if isinstance(axis, str) else tuple(axis)
+
+
+def _lead_spec(axes: tuple) -> object:
+    """PartitionSpec leading element sharding over one or several mesh
+    axes (a tuple element shards the dim over the axis product)."""
+    return axes[0] if len(axes) == 1 else axes
+
+
+def shard_batched_state(state: State, mesh: Mesh, axis="streams") -> State:
     """Place a stacked per-stream state onto the mesh, sharded on the leading
-    stream axis."""
+    stream axis (over one mesh axis, or several for a hybrid mesh)."""
+    lead = _lead_spec(_axes_tuple(axis))
 
     def put(x):
-        spec = P(axis, *([None] * (x.ndim - 1)))
+        spec = P(lead, *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(put, state)
@@ -49,10 +95,10 @@ class ShardedMixer(Node):
     axis of the mesh produces the global [C, T] mix on every chip.
     """
 
-    def __init__(self, chain: BatchedChain, mesh: Mesh, axis: str = "streams"):
+    def __init__(self, chain: BatchedChain, mesh: Mesh, axis="streams"):
         self.chain = chain
         self.mesh = mesh
-        self.axis = axis
+        self.axis = _axes_tuple(axis)
         self.spec = chain.spec
 
     def total_frames(self) -> Optional[int]:
@@ -76,8 +122,9 @@ class ShardedMixer(Node):
 
         from jax.experimental.shard_map import shard_map
 
+        lead = _lead_spec(self.axis)
         state_specs = jax.tree_util.tree_map(
-            lambda x: P(axis, *([None] * (x.ndim - 1))), state
+            lambda x: P(lead, *([None] * (x.ndim - 1))), state
         )
         fn = shard_map(
             per_chip,
@@ -154,12 +201,12 @@ class ShardedWidePipeline:
     """
 
     def __init__(self, build, n_streams: int, mesh: Mesh,
-                 axis: str = "streams", master_settings=None):
+                 axis="streams", master_settings=None):
         from ..effects.limit import Limit, LimitSettings
 
         self.mesh = mesh
-        self.axis = axis
-        n_dev = mesh.devices.size
+        self.axis = _axes_tuple(axis)
+        n_dev = int(np.prod([mesh.shape[a] for a in self.axis]))
         if n_streams % n_dev:
             raise ValueError(
                 f"{n_streams} streams not divisible by {n_dev} devices"
@@ -184,10 +231,11 @@ class ShardedWidePipeline:
         assert len(g_leaves) == len(l_leaves), (
             "builder must produce shape-compatible states at any S"
         )
+        lead = _lead_spec(self.axis)
         self._chain_specs = jax.tree_util.tree_unflatten(
             self._treedef,
             [
-                P(axis, *([None] * (g.ndim - 1)))
+                P(lead, *([None] * (g.ndim - 1)))
                 if g.shape != l.shape else P()
                 for g, l in zip(g_leaves, l_leaves)
             ],

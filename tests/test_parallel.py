@@ -195,6 +195,41 @@ def test_sharded_wide_pipeline_caches_step(mesh):
         assert n_compiles == 1
 
 
+def test_hybrid_mesh_wide_pipeline():
+    """Multi-host layout: 2 hosts x 4 chips as a ("dcn", "streams") mesh,
+    streams sharded over the axis PRODUCT, mix psum'd over the pair
+    (hierarchical reduce: ICI partials first, one [C, T] block over DCN).
+    Must equal the dense render like the 1-D mesh does."""
+    from rodio_tpu.parallel.sharding import (
+        ShardedWidePipeline, hybrid_stream_mesh,
+    )
+
+    S, T, blocks, frames = 16, 512, 6, 6000
+    mesh = hybrid_stream_mesh(2, jax.devices()[:8])
+    assert mesh.shape == {"dcn": 2, "streams": 4}
+
+    sharded = ShardedWidePipeline(_wide_builder(frames), S, mesh,
+                                  axis=("dcn", "streams"))
+    sstate = sharded.init_state()
+
+    dense = ShardedWidePipeline(
+        _wide_builder(frames), S,
+        hybrid_stream_mesh(1, jax.devices()[:1]), axis=("dcn", "streams"),
+    )
+    dstate = dense.init_state()
+
+    for k in range(blocks):
+        sstate, smix, sv = sharded.emit(sstate, T)
+        dstate, dmix, dv = dense.emit(dstate, T)
+        assert int(sv) == int(dv) == T
+        np.testing.assert_allclose(
+            np.asarray(smix), np.asarray(dmix), atol=2e-6,
+            err_msg=f"block {k}",
+        )
+    leaf = jax.tree_util.tree_leaves(sstate["chain"])[0]
+    assert len(leaf.sharding.device_set) == 8, "state not sharded over 2x4"
+
+
 def test_sharded_batch_caches_step(mesh):
     from rodio_tpu.parallel.sharding import ShardedBatch
 
