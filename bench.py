@@ -103,6 +103,7 @@ def main():
         precision=os.environ.get("BENCH_PRECISION", "auto"),
         firfold=os.environ.get("BENCH_FIRFOLD", "auto"),
         agc_ring=os.environ.get("BENCH_AGC_RING", "bf16"),
+        inkernel_limit=os.environ.get("BENCH_INKERNEL_LIMIT", "0") == "1",
     )
 
     t_a, e_a, v_a = _run_scan(node, state, T, n_blocks, r1)

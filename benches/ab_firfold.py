@@ -80,7 +80,10 @@ def main():
     variants = []
     for name, kw in [
         ("la4", dict(firfold=False, lookahead=4)),
-        ("la4-nolimit", dict(firfold=False, lookahead=4, _unwrap=True)),
+        ("la4-seplimit", dict(firfold=False, lookahead=4,
+                              inkernel_limit=False)),
+        ("la4-nolimit", dict(firfold=False, lookahead=4,
+                             inkernel_limit=False, _unwrap=True)),
         ("la4-int2", dict(firfold=False, lookahead=4, precision="int2")),
         ("la4-m3", dict(firfold=False, lookahead=4, m=3, _T=4800)),
         ("la4-m3-int2", dict(firfold=False, lookahead=4, m=3,

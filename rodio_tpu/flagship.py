@@ -60,7 +60,8 @@ class FusedWidePipeline(Node):
                  precision: str = "auto", lookahead: int = 4,
                  subblk: int = 0, firfold="auto",
                  with_agc: bool = False, agc_settings=None,
-                 agc_ring: str = "bf16"):
+                 agc_ring: str = "bf16",
+                 master_limit=None):
         assert getattr(input_node, "RANDOM_ACCESS", False) and hasattr(
             input_node, "slice_frames"
         ), "FusedWidePipeline needs a sliceable random-access source"
@@ -102,6 +103,37 @@ class FusedWidePipeline(Node):
             assert self.bfold and self.to >= 2 and not subblk, (
                 "firfold requires the int-piece bfold layout, to >= 2, "
                 "and the look-ahead IIR plan"
+            )
+        # optional in-kernel master-bus limiter (the blocked limiter as
+        # the mega-kernel epilogue). Same parity class as the node path's
+        # TPU default (the blocked parallel-in-time kernel, ~4e-6 vs the
+        # sequential order). MEASURED SLOWER than the separate Limit
+        # dispatch on v5e (+35 vs +3.8 us/block — per-grid-step
+        # log2/exp2 + lane scans on [8,128] tiles don't amortize like
+        # the full-block kernel); opt-in for one-dispatch deployments.
+        self._limiter = None
+        if master_limit is not None:
+            from .core.math import duration_to_coefficient
+            from .core.types import duration_to_nanos
+
+            assert C == 2, "in-kernel master limiter is stereo"
+            mto = self.m * self.to
+            P_l = 1
+            while P_l * 2 <= 128 and mto % (P_l * 2) == 0:
+                P_l *= 2
+            assert mto // P_l <= 16, (
+                "in-kernel limiter needs m*to = Lc*pow2 with Lc <= 16"
+            )
+            ls = master_limit
+            self._limiter = (
+                float(duration_to_coefficient(
+                    0, to_rate, nanos=duration_to_nanos(ls.attack))),
+                float(duration_to_coefficient(
+                    0, to_rate, nanos=duration_to_nanos(ls.release))),
+                float(np.float32(ls.threshold)),
+                float(np.float32(ls.knee_width)),
+                float(np.float32(1.0) / (np.float32(8.0)
+                                         * np.float32(ls.knee_width))),
             )
         # reuse the resampler's constant lerp operator
         self._rs = Resample(input_node, to_rate)
@@ -253,6 +285,8 @@ class FusedWidePipeline(Node):
             "coeffs": jnp.asarray(self.coeffs, dtype=dt),
             "op": self._build_op(self.coeffs),
         }
+        if self._limiter is not None:
+            state["lim"] = jnp.zeros((8, 2), dtype=dt)
         if self.with_agc:
             mto = self.m * self.to
             rs_slots = -(-self._lag // mto) + 2
@@ -367,7 +401,7 @@ class FusedWidePipeline(Node):
             from .ops.fused import fused_resample_biquad_agc_mix
 
             k0 = o0 // jnp.int32(m * to)
-            mix8, bq, agc_new, ring_new = fused_resample_biquad_agc_mix(
+            res = fused_resample_biquad_agc_mix(
                 chunks, c0c, k0, xn_t, self._rs._G0, self._rs._g1,
                 self._mixmat, tuple(state["coeffs"][i] for i in range(5)),
                 state["bq"], state["agc"],
@@ -377,11 +411,18 @@ class FusedWidePipeline(Node):
                 lag=self._lag,
                 bfold=self.bfold, firfold=self.firfold,
                 op=state["op"],
+                limiter=self._limiter,
+                lim_state=state.get("lim"),
                 interpret=interpret,
             )
-            extra = {"agc": agc_new, "ring": ring_new}
+            if self._limiter is not None:
+                mix8, bq, agc_new, ring_new, lim_new = res
+                extra = {"agc": agc_new, "ring": ring_new, "lim": lim_new}
+            else:
+                mix8, bq, agc_new, ring_new = res
+                extra = {"agc": agc_new, "ring": ring_new}
         else:
-            mix8, bq = fused_resample_biquad_mix(
+            res = fused_resample_biquad_mix(
                 chunks, c0c, xn_t, self._rs._G0, self._rs._g1, self._mixmat,
                 tuple(state["coeffs"][i] for i in range(5)),
                 state["bq"], fr=fr, to=to, m=m,
@@ -390,8 +431,15 @@ class FusedWidePipeline(Node):
                 bfold=self.bfold, firfold=self.firfold,
                 coeffs_static=self.coeffs if self.subblk else None,
                 op=state["op"],
+                limiter=self._limiter,
+                lim_state=state.get("lim"),
                 interpret=interpret,
             )
+            if self._limiter is not None:
+                mix8, bq, lim_new = res
+                extra = {"lim": lim_new}
+            else:
+                mix8, bq = res
         out = mix8[: self.spec.channels, :]
 
         # validity + drain bookkeeping (conversions/resample.py:322-339)
@@ -654,7 +702,8 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
                   source_pcm: Optional[np.ndarray] = None,
                   max_block: int = 8192, lookahead: int = 4,
                   precision: str = "auto", firfold="auto",
-                  agc_ring: str = "bf16", m: int = 2):
+                  agc_ring: str = "bf16", m: int = 2,
+                  inkernel_limit: bool = False):
     """Build (master_node, state) for the flagship pipeline.
 
     ``source_pcm``: optional [channels, frames] PCM at in_rate shared as the
@@ -691,7 +740,18 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
             chain, out_rate, gains, n_streams, "low_pass", 2000.0, 0.5,
             with_agc=with_agc, lookahead=lookahead, precision=precision,
             firfold=firfold, agc_ring=agc_ring, m=m,
+            master_limit=LimitSettings() if inkernel_limit else None,
         )
+        if inkernel_limit:
+            # opt-in: the master-bus limiter as the mega-kernel epilogue
+            # (one dispatch, same blocked plan + parity class as the node
+            # path's TPU default). MEASURED SLOWER on v5e: the epilogue's
+            # per-grid-step log2/exp2 + lane scans on [8,128] tiles cost
+            # ~35 us/block, while the separate blocked-limiter dispatch
+            # costs only ~3.8 us/block (interleaved A/B, BENCHMARKS.md
+            # round-3 findings) — kept for the one-dispatch deployment
+            # story, default OFF
+            return fused, fused.init_state()
         master = Limit(fused, LimitSettings(), mode="auto")
         return master, master.init_state()
     chain = Resample(chain, out_rate, max_block=max_block)

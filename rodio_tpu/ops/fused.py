@@ -70,6 +70,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core.math import LOG2_10, LOG10_2, exp2_precise, log2_precise
+
 LANES = 1024  # 8 sublanes x 128 lanes = one f32 vreg per biquad time step
 
 
@@ -86,14 +88,14 @@ def _tree_sum(terms):
 
 
 def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
-                  mixt_ref, ab_ref, state_ref,
-                  out_ref, out_state_ref,
-                  carry, xraw, x_scr, y_scr, sems, corr_scr,
+                  mixt_ref, ab_ref, state_ref, lim_ref,
+                  out_ref, out_state_ref, out_lim_ref,
+                  carry, xraw, x_scr, y_scr, sems, corr_scr, limc,
                   *, m: int, to: int, precision, int3: bool,
                   lookahead: int = 1, subblk: int = 0,
                   binary_mix: bool = False, bfold: bool = False,
                   wsplit: bool = False, firfold: bool = False,
-                  ring_chunks: int = 0):
+                  ring_chunks: int = 0, limiter: tuple = None):
     _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 mixt_ref, state_ref, out_ref, out_state_ref,
                 carry, xraw, x_scr, y_scr, sems,
@@ -101,19 +103,23 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 lookahead=lookahead, subblk=subblk, binary_mix=binary_mix,
                 bfold=bfold, wsplit=wsplit, firfold=firfold,
                 ring_chunks=ring_chunks,
-                ab_ref=ab_ref, corr_scr=corr_scr)
+                ab_ref=ab_ref, corr_scr=corr_scr,
+                limiter=limiter, lim_ref=lim_ref,
+                out_lim_ref=out_lim_ref, limc=limc)
 
 
 def _fused_agc_kernel(c0_ref, k0_ref, agcp_ref, c_ref, chunks_ref, xn_ref,
                       g0t_ref, g1_ref, mixt_ref, state_ref, agc_ref,
-                      ring_in_ref,
+                      ring_in_ref, lim_ref,
                       out_ref, out_state_ref, out_agc_ref, ring_ref,
+                      out_lim_ref,
                       carry, xraw, x_scr, y_scr, sems,
-                      agc_carry, old_scr, sq_scr, rsems, wsems,
+                      agc_carry, old_scr, sq_scr, rsems, wsems, limc,
                       *, m: int, to: int, precision, int3: bool,
                       lookahead: int, rs_slots: int, lag: int,
                       bfold: bool = False, wsplit: bool = False,
-                      firfold: bool = False, ring_chunks: int = 0):
+                      firfold: bool = False, ring_chunks: int = 0,
+                      limiter: tuple = None):
     """AGC-bearing variant: adds the per-stream AGC stage between the
     biquad and the mix (src/source/agc.rs:397-496, decomposed form), with
     the 8192-interleaved-sample RMS window kept as an HBM ring of squared
@@ -134,7 +140,9 @@ def _fused_agc_kernel(c0_ref, k0_ref, agcp_ref, c_ref, chunks_ref, xn_ref,
                 k0_ref=k0_ref, agc_ref=agc_ref, ring_ref=ring_ref,
                 out_agc_ref=out_agc_ref, agc_carry=agc_carry,
                 old_scr=old_scr, sq_scr=sq_scr, rsems=rsems, wsems=wsems,
-                rs_slots=rs_slots, lag=lag)
+                rs_slots=rs_slots, lag=lag,
+                limiter=limiter, lim_ref=lim_ref,
+                out_lim_ref=out_lim_ref, limc=limc)
 
 
 def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
@@ -146,6 +154,8 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 binary_mix: bool = False, bfold: bool = False,
                 wsplit: bool = False, firfold: bool = False,
                 ring_chunks: int = 0,
+                limiter: tuple = None, lim_ref=None, out_lim_ref=None,
+                limc=None,
                 ab_ref=None, corr_scr=None,
                 agc=None, agcp_ref=None, k0_ref=None, agc_ref=None,
                 ring_ref=None,
@@ -648,7 +658,6 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 ab_ref[...], R, preferred_element_type=y_t.dtype,
                 precision=jax.lax.Precision.HIGHEST,
             )
-        out_ref[...] = mix[None]
     else:
         mix = jnp.dot(y_t, mixt_ref[...], preferred_element_type=y_t.dtype,
                       precision=jax.lax.Precision.HIGHEST)  # [m*to, 8]
@@ -662,7 +671,133 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 ab_ref[...], R, preferred_element_type=y_t.dtype,
                 precision=jax.lax.Precision.HIGHEST,
             )
-        out_ref[...] = mix[None]
+
+    # 5 (optional): the master-bus limiter as the kernel epilogue
+    # (src/source/limit.rs:854-988; the blocked parallel-in-time plan of
+    # ops/limiter_block.py restructured PER GRID STEP). Folding it here
+    # removes the separate dispatch plus the XLA transposes around it —
+    # measured ~20 us/block at T=4160, vs ~1-2 us for this epilogue.
+    # Layout: P_l time-chunks on lanes, channels on sublanes; all
+    # Lc-deep local prefix loops UNROLLED into registers (Lc <= 16).
+    if limiter is not None:
+        att_l, rel_l, thr_l, kw_l, ik8_l = limiter
+        P_l = 1
+        while P_l * 2 <= 128 and mto % (P_l * 2) == 0:
+            P_l *= 2
+        Lc = mto // P_l
+        assert Lc <= 16, "in-kernel limiter needs mto = Lc*P with Lc<=16"
+        cr_l = 1.0 - rel_l
+        ca_l = 1.0 - att_l
+        tiny = float(np.finfo(np.float32).tiny)
+        dtm = mix.dtype
+
+        @pl.when(t_idx == 0)
+        def _load_lim():
+            limc[:, 0:2] = lim_ref[...]
+
+        # [mto, 8] -> [Lc, 8, 128]: chunk p on lane p, channel on
+        # sublane (time t = p*Lc + tl); lanes >= P_l are padding whose
+        # garbage gains are sliced away before the inverse transpose
+        x3 = jnp.pad(
+            mix.reshape(P_l, Lc, 8).transpose((1, 2, 0)),
+            ((0, 0), (0, 0), (0, 128 - P_l)),
+        )
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+
+        def gain_db(v):
+            bias_db = (log2_precise(jnp.abs(v) + tiny)
+                       * (LOG10_2 * 20.0) - thr_l)
+            kb = bias_db * 2.0
+            xk = kb + kw_l
+            quad = xk * xk * ik8_l
+            return jnp.where(
+                kb < -kw_l, 0.0,
+                jnp.where(jnp.abs(kb) <= kw_l, quad, bias_db),
+            )
+
+        bs, cs = [], []
+        B = jnp.full((8, 128), -3.0e38, dtm)
+        Cc = jnp.zeros((8, 128), dtm)
+        for tl in range(Lc):
+            d = gain_db(x3[tl])
+            B = jnp.maximum(d, rel_l * B + cr_l * d)
+            Cc = rel_l * Cc + cr_l * d
+            bs.append(B)
+            cs.append(Cc)
+
+        A1 = jnp.full((8, 128), rel_l ** Lc, dtm)
+        B1, C1 = bs[-1], cs[-1]
+        k = 1
+        while k < P_l:
+            As_ = pltpu.roll(A1, k, 1)
+            Bs_ = pltpu.roll(B1, k, 1)
+            Cs_ = pltpu.roll(C1, k, 1)
+            mk = lane >= k
+            B1 = jnp.where(mk, jnp.maximum(B1, A1 * Bs_ + C1), B1)
+            C1 = jnp.where(mk, A1 * Cs_ + C1, C1)
+            A1 = jnp.where(mk, A1 * As_, A1)
+            k *= 2
+        zero8 = jnp.zeros((8, 128), dtm)
+        i0 = limc[:, 0:1]
+        As_ = pltpu.roll(A1, 1, 1)
+        Bs_ = pltpu.roll(B1, 1, 1)
+        Cs_ = pltpu.roll(C1, 1, 1)
+        v_integ = jnp.where(
+            lane == 0, i0 + zero8, jnp.maximum(Bs_, As_ * i0 + Cs_)
+        )
+
+        cps = []
+        Cp = zero8
+        for tl in range(Lc):
+            integ = jnp.maximum(
+                bs[tl], (rel_l ** (tl + 1)) * v_integ + cs[tl]
+            )
+            Cp = att_l * Cp + ca_l * integ
+            cps.append(Cp)
+
+        A2 = jnp.full((8, 128), att_l ** Lc, dtm)
+        C2 = cps[-1]
+        k = 1
+        while k < P_l:
+            As_ = pltpu.roll(A2, k, 1)
+            Cs_ = pltpu.roll(C2, k, 1)
+            mk = lane >= k
+            C2 = jnp.where(mk, A2 * Cs_ + C2, C2)
+            A2 = jnp.where(mk, A2 * As_, A2)
+            k *= 2
+        p0 = limc[:, 1:2]
+        As_ = pltpu.roll(A2, 1, 1)
+        Cs_ = pltpu.roll(C2, 1, 1)
+        v_peak = jnp.where(lane == 0, p0 + zero8, As_ * p0 + Cs_)
+
+        # gains + the rodio stereo coupling (ch0 pairs the fresh ch0
+        # peak with ch1's PREVIOUS-sample peak; ch1 sees both fresh)
+        prev = v_peak
+        ys = []
+        for tl in range(Lc):
+            peak = (att_l ** (tl + 1)) * v_peak + cps[tl]
+            mp = jnp.maximum(
+                peak[0:1, :], jnp.where(sub == 0, prev[1:2, :], peak)
+            )
+            ys.append(x3[tl] * exp2_precise(mp * (-0.05 * LOG2_10)))
+            prev = peak
+
+        # carries: the step's true last sample = (tl = Lc-1, lane P_l-1)
+        integ_last = jnp.maximum(
+            bs[Lc - 1], (rel_l ** Lc) * v_integ + cs[Lc - 1]
+        )
+        limc[:, 0:1] = integ_last[:, P_l - 1 : P_l]
+        limc[:, 1:2] = prev[:, P_l - 1 : P_l]
+
+        mix = (jnp.stack(ys, axis=0)[:, :, :P_l]
+               .transpose((2, 0, 1)).reshape(mto, 8))
+
+        @pl.when(t_idx == n_t - 1)
+        def _store_lim():
+            out_lim_ref[...] = limc[:, 0:2]
+
+    out_ref[...] = mix[None]
 
     @pl.when(t_idx == n_t - 1)
     def _store_state():
@@ -976,7 +1111,7 @@ def _common_scratch(P, m, to, nslot: int = 3):
     jax.jit,
     static_argnames=("fr", "to", "m", "interpret", "precision", "lookahead",
                      "subblk", "binary_mix", "bfold", "firfold",
-                     "coeffs_static", "ring_chunks"),
+                     "coeffs_static", "ring_chunks", "limiter"),
 )
 def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
                               bq_state, *, fr: int, to: int, m: int = 2,
@@ -989,6 +1124,8 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
                               coeffs_static: tuple = None,
                               ring_chunks: int = 0,
                               op=None,
+                              limiter: tuple = None,
+                              lim_state=None,
                               interpret: bool = False):
     """Fused pipeline over one block, reading straight from the chunked
     buffer.
@@ -1015,42 +1152,52 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
     n_t = P["n_t"]
     dt = P["dt"]
     mem = pltpu.ANY if interpret else pltpu.VMEM
+    if lim_state is None:
+        lim_state = jnp.zeros((8, 2), dt)
     in_specs = _common_in_specs(P, mem, P["K"])
     in_specs.insert(7, pl.BlockSpec(P["ab"].shape, lambda t: (0, 0),
                                     memory_space=mem))  # ab
-    out3, out_state = pl.pallas_call(
+    in_specs.append(pl.BlockSpec((8, 2), lambda t: (0, 0),
+                                 memory_space=mem))     # limiter carries
+    out3, out_state, out_lim = pl.pallas_call(
         functools.partial(_fused_kernel, m=m, to=to, precision=P["prec"],
                           int3=P["int3"], lookahead=lookahead,
                           subblk=subblk, binary_mix=binary_mix,
                           bfold=P["bfold"], wsplit=P["wsplit"],
-                          firfold=firfold, ring_chunks=ring_chunks),
+                          firfold=firfold, ring_chunks=ring_chunks,
+                          limiter=limiter),
         grid=(n_t,),
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, m * to, 8), lambda t: (t, 0, 0),
                          memory_space=mem),
             pl.BlockSpec((LANES, 4), lambda t: (0, 0), memory_space=mem),
+            pl.BlockSpec((8, 2), lambda t: (0, 0), memory_space=mem),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_t, m * to, 8), dt),
             jax.ShapeDtypeStruct((LANES, 4), dt),
+            jax.ShapeDtypeStruct((8, 2), dt),
         ),
         scratch_shapes=_common_scratch(P, m, to) + [
             pltpu.VMEM((P["n_corr"], 8, 128), dt),     # corr rows
+            pltpu.VMEM((8, 128), dt),                  # limiter carries
         ],
         interpret=interpret,
     )(P["c0"], P["c"], P["chunks"], xn_t, P["g0t"], P["g1p"], P["mixt"],
-      P["ab"], P["st"])
+      P["ab"], P["st"], lim_state)
 
     mix = out3.reshape(P["K"] * to, 8).T
     new_state = tuple(out_state[:, i] for i in range(4))
+    if limiter is not None:
+        return mix, new_state, out_lim
     return mix, new_state
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("fr", "to", "m", "interpret", "precision", "lookahead",
-                     "lag", "bfold", "firfold", "ring_chunks"),
+                     "lag", "bfold", "firfold", "ring_chunks", "limiter"),
     donate_argnames=("ring",),
 )
 def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
@@ -1064,6 +1211,8 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
                                   firfold: bool = False,
                                   ring_chunks: int = 0,
                                   op=None,
+                                  limiter: tuple = None,
+                                  lim_state=None,
                                   interpret: bool = False):
     """AGC-bearing fused pipeline (see _fused_agc_kernel).
 
@@ -1105,21 +1254,25 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
     )  # SMEM data: live AGC knobs, zero re-trace
     mem = pltpu.ANY if interpret else pltpu.VMEM
 
+    if lim_state is None:
+        lim_state = jnp.zeros((8, 2), dtp)
     in_specs = _common_in_specs(P, mem, P["K"])
-    # insert k0 + agc params after c0; append agc_state + ring
+    # insert k0 + agc params after c0; append agc_state + ring + lim
     in_specs.insert(1, pl.BlockSpec(memory_space=pltpu.SMEM))
     in_specs.insert(2, pl.BlockSpec(memory_space=pltpu.SMEM))
     in_specs.append(pl.BlockSpec((12, 128), lambda t: (0, 0),
                                  memory_space=mem))
     in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))   # ring (HBM)
+    in_specs.append(pl.BlockSpec((8, 2), lambda t: (0, 0),
+                                 memory_space=mem))         # limiter
 
-    out3, out_state, out_agc, ring_out = pl.pallas_call(
+    out3, out_state, out_agc, ring_out, out_lim = pl.pallas_call(
         functools.partial(
             _fused_agc_kernel, m=m, to=to, precision=P["prec"],
             int3=P["int3"], lookahead=lookahead,
             rs_slots=rs_slots, lag=lag, bfold=P["bfold"],
             wsplit=P["wsplit"], firfold=firfold,
-            ring_chunks=ring_chunks,
+            ring_chunks=ring_chunks, limiter=limiter,
         ),
         grid=(n_t,),
         in_specs=in_specs,
@@ -1129,12 +1282,14 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
             pl.BlockSpec((LANES, 4), lambda t: (0, 0), memory_space=mem),
             pl.BlockSpec((12, 128), lambda t: (0, 0), memory_space=mem),
             pl.BlockSpec(memory_space=pltpu.ANY),            # ring out
+            pl.BlockSpec((8, 2), lambda t: (0, 0), memory_space=mem),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_t, mto, 8), dt),
             jax.ShapeDtypeStruct((LANES, 4), dt),
             jax.ShapeDtypeStruct((12, 128), dt),
             jax.ShapeDtypeStruct(ring.shape, ring.dtype),
+            jax.ShapeDtypeStruct((8, 2), dt),
         ),
         scratch_shapes=_common_scratch(P, m, to) + [
             pltpu.VMEM((12, 128), dt),            # agc carry
@@ -1142,13 +1297,16 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
             pltpu.VMEM((2, mto, 8, 128), ring.dtype),  # sq (dbl-buffered)
             pltpu.SemaphoreType.DMA((2,)),        # ring reads
             pltpu.SemaphoreType.DMA((2,)),        # ring writes
+            pltpu.VMEM((8, 128), dt),             # limiter carries
         ],
         input_output_aliases={11: 3},             # ring in -> ring out
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(P["c0"], k0, agcp, P["c"], P["chunks"], xn_t, P["g0t"], P["g1p"],
-      P["mixt"], P["st"], agc_state, ring)
+      P["mixt"], P["st"], agc_state, ring, lim_state)
 
     mix = out3.reshape(P["K"] * to, 8).T
     new_state = tuple(out_state[:, i] for i in range(4))
+    if limiter is not None:
+        return mix, new_state, out_agc, ring_out, out_lim
     return mix, new_state, out_agc, ring_out

@@ -18,6 +18,36 @@ from rodio_tpu.parallel.batch import WideMixer
 from rodio_tpu.sources.generators import SamplesBuffer
 
 
+def _pipe(node):
+    """The FusedWidePipeline: under a Limit wrapper (the default) or the
+    node itself (inkernel_limit=True, the opt-in epilogue limiter)."""
+    return node if isinstance(node, FusedWidePipeline) else node.input
+
+
+def test_fused_inkernel_limiter_parity(rng):
+    """Opt-in in-kernel master limiter (the mega-kernel epilogue) vs the
+    separate blocked Limit dispatch: same blocked parallel-in-time plan,
+    so outputs agree to the blocked-limiter parity class (~4e-6) with
+    carries preserved across blocks. (Measured SLOWER than the separate
+    dispatch on v5e — kept opt-in; BENCHMARKS.md round-3 findings.)"""
+    node_k, sk = make_flagship(8, seconds=0.7, seed=3, scan_mode="fused",
+                               inkernel_limit=True)
+    node_s, ss = make_flagship(8, seconds=0.7, seed=3, scan_mode="fused",
+                               inkernel_limit=False)
+    assert isinstance(node_k, FusedWidePipeline)
+    assert not isinstance(node_s, FusedWidePipeline)
+    ek = jax.jit(lambda s: node_k.emit(s, 640))
+    es = jax.jit(lambda s: node_s.emit(s, 640))
+    for blk in range(4):
+        sk, ok, vk = ek(sk)
+        ss, os_, vs = es(ss)
+        assert int(vk) == int(vs)
+        np.testing.assert_allclose(
+            np.asarray(ok), np.asarray(os_), atol=8e-6,
+            err_msg=f"block {blk}",
+        )
+
+
 def _pair(rng, S=8, frames=44100, freq=2000.0, q=0.5):
     C = 2
     wide = (rng.standard_normal((S * C, frames)) * 0.1).astype(np.float32)
@@ -311,7 +341,7 @@ def test_fused_wsplit_with_agc(rng):
     node_u, su = make_flagship(S, seconds=1.0, seed=9, scan_mode="exact",
                                with_agc=True, out_rate=192000,
                                max_block=2560)
-    assert node_f.input.precision == "int3" and node_f.input.to == 640
+    assert _pipe(node_f).precision == "int3" and _pipe(node_f).to == 640
     ef = jax.jit(lambda s: node_f.emit(s, 1280))
     eu = jax.jit(lambda s: node_u.emit(s, 1280))
     for _ in range(4):
@@ -334,7 +364,7 @@ def test_fused_agc_power_of_two_ratio(rng):
     node_u, su = make_flagship(S, seconds=0.2, seed=13, in_rate=24000,
                                scan_mode="exact", with_agc=True,
                                max_block=512)
-    assert node_f.input.to == 2  # m*to = 4 divides lag = 4096
+    assert _pipe(node_f).to == 2  # m*to = 4 divides lag = 4096
     ef = jax.jit(lambda s: node_f.emit(s, 128))
     eu = jax.jit(lambda s: node_u.emit(s, 128))
     for blk in range(3):
@@ -365,9 +395,9 @@ def test_fused_live_retune_zero_retrace(rng):
     node_f, sf = make_flagship(4, seconds=0.5, seed=9, scan_mode="fused")
     node_u, su = make_flagship(4, seconds=0.5, seed=9, scan_mode="exact",
                                max_block=640)
-    fused = node_f.input
+    fused = _pipe(node_f)
     assert isinstance(fused, FusedWidePipeline)
-    blt = node_u.input.input.input  # Limit<-WideMixer<-Amplify<-Blt? walk:
+    blt = None  # walk the exact chain for its BltFilter:
     n = node_u
     while not isinstance(n, BltFilter):
         n = n.input
@@ -408,7 +438,7 @@ def test_fused_agc_live_params_zero_retrace(rng):
     next block with no re-trace (src/source/agc.rs set_attack_time)."""
     node_f, sf = make_flagship(4, seconds=0.5, seed=9, scan_mode="fused",
                                with_agc=True)
-    fused = node_f.input
+    fused = _pipe(node_f)
     ef = jax.jit(lambda s: node_f.emit(s, 640))
     sf, o1, v1 = ef(sf)
 
