@@ -103,6 +103,7 @@ def main():
         precision=os.environ.get("BENCH_PRECISION", "auto"),
         firfold=os.environ.get("BENCH_FIRFOLD", "auto"),
         agc_ring=os.environ.get("BENCH_AGC_RING", "bf16"),
+        agc_group=int(os.environ.get("BENCH_AGC_GROUP", "0")),
         inkernel_limit=os.environ.get("BENCH_INKERNEL_LIMIT", "0") == "1",
     )
 

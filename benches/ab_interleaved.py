@@ -84,6 +84,11 @@ def main():
         ("la4-int2", dict(firfold=False, lookahead=4, precision="int2")),
         ("la4-m3", dict(firfold=False, lookahead=4, m=3, _T=4800)),
         ("la4-ringf32", dict(firfold=False, lookahead=4, agc_ring="f32")),
+        # group-rate AGC (opt-in relaxed-smoother contract; AB_AGC=1)
+        ("la4-g4", dict(firfold=False, lookahead=4, agc_group=4)),
+        ("la4-g8", dict(firfold=False, lookahead=4, agc_group=8)),
+        ("la4-g16", dict(firfold=False, lookahead=4, agc_group=16)),
+        ("la4-g32", dict(firfold=False, lookahead=4, agc_group=32)),
     ]
     only = os.environ.get("AB_ONLY")
     variants = [(n, k) for n, k in catalog

@@ -21,6 +21,29 @@ decomposition over the interleaved sequence (column-major flatten of the
 In exact mode steps 1-2 also run sequentially with the reference's exact
 operation order (sum = (sum - old) + new), giving 1e-6-class parity; in
 parallel mode they use prefix scans (deviation ~1e-5 from f32 reordering).
+
+AgcGroup contract (the fused kernel's opt-in ``agc_group=AG`` mode):
+the reference's gain smoother advances once per INTERLEAVED SAMPLE
+(src/source/agc.rs:486-496) and is inherently serial — at 512 streams
+that serial chain floors the fused farm at ~194k x aggregate on v5e
+(BENCHMARKS.md round-3 attribution). Group mode relaxes exactly that
+contract and nothing else: window sums, peaks, and the smoother advance
+once per AG-frame group (2*AG interleaved samples at stereo), with
+
+- the group-end RMS window sum EXACT (the same quantized per-group sums
+  enter and later leave the HBM ring — zero drift, same invariant as
+  the per-sample bf16 ring);
+- the smoother stepped with speed^(2*AG) toward a group-constant
+  desired gain — identical to 2*AG per-sub-step updates against that
+  target, so attack/release time constants are preserved;
+- gains applied as a group staircase (AG/fs seconds per step, e.g.
+  167 us at AG=8/48k — far below the 4 s default attack time).
+
+Measured deviation vs the per-sample smoother at AG=8: ~1e-3 max
+relative on active-AGC output, converging over time (the smoother is a
+contraction toward the same desired-gain trajectory). This is a
+DOCUMENTED DEVIATION mode, default off; ``agc_group=0`` keeps the
+reference's per-sample semantics.
 """
 from __future__ import annotations
 

@@ -60,7 +60,7 @@ class FusedWidePipeline(Node):
                  precision: str = "auto", lookahead: int = 4,
                  subblk: int = 0, firfold="auto",
                  with_agc: bool = False, agc_settings=None,
-                 agc_ring: str = "bf16",
+                 agc_ring: str = "bf16", agc_group: int = 0,
                  master_limit=None):
         assert getattr(input_node, "RANDOM_ACCESS", False) and hasattr(
             input_node, "slice_frames"
@@ -174,6 +174,19 @@ class FusedWidePipeline(Node):
             self._lag = RMS_WINDOW_SIZE // C
             assert agc_ring in ("bf16", "f32")
             self._agc_ring = agc_ring
+            # group-rate AGC (opt-in, documented deviation): window sums
+            # / peaks / the gain smoother advance once per agc_group
+            # frames instead of per interleaved sample; group-end RMS
+            # stays exact, the smoother uses speed^(2*AG), gains apply
+            # as a group staircase. See ops/fused.py group branch.
+            self._agc_group = int(agc_group)
+            if agc_group:
+                mto_ = self.m * self.to
+                assert (agc_group >= 2 and mto_ % agc_group == 0
+                        and self._lag % agc_group == 0), (
+                    f"agc_group {agc_group} must be >= 2 and divide both "
+                    f"m*to = {mto_} and the RMS lag {self._lag}"
+                )
             half = LANES // 2
             # lane permutation: new lane l = c*half + s <- old row s*C + c;
             # unused stream slots point at a zero row of the padded data
@@ -289,7 +302,12 @@ class FusedWidePipeline(Node):
             state["lim"] = jnp.zeros((8, 2), dtype=dt)
         if self.with_agc:
             mto = self.m * self.to
-            rs_slots = -(-self._lag // mto) + 2
+            # agc_group scales the ring's row unit from a frame to a
+            # group of agc_group frames (per-group window sums)
+            rr = mto // self._agc_group if self._agc_group else mto
+            rlag = (self._lag // self._agc_group if self._agc_group
+                    else self._lag)
+            rs_slots = -(-rlag // rr) + 2
             state["agc"] = (
                 jnp.zeros((12, 128), dtype=dt).at[8:12].set(1.0)
             )
@@ -301,7 +319,7 @@ class FusedWidePipeline(Node):
             # contract for program material. agc_ring="f32" keeps the
             # exact mode.
             rdt = jnp.bfloat16 if self._agc_ring == "bf16" else dt
-            state["ring"] = jnp.zeros((rs_slots, mto, 8, 128), dtype=rdt)
+            state["ring"] = jnp.zeros((rs_slots, rr, 8, 128), dtype=rdt)
             state["agc_par"] = jnp.asarray(self._agc_params, dtype=dt)
         return state
 
@@ -413,6 +431,7 @@ class FusedWidePipeline(Node):
                 op=state["op"],
                 limiter=self._limiter,
                 lim_state=state.get("lim"),
+                agc_group=self._agc_group,
                 interpret=interpret,
             )
             if self._limiter is not None:
@@ -702,7 +721,7 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
                   source_pcm: Optional[np.ndarray] = None,
                   max_block: int = 8192, lookahead: int = 4,
                   precision: str = "auto", firfold="auto",
-                  agc_ring: str = "bf16", m: int = 2,
+                  agc_ring: str = "bf16", agc_group: int = 0, m: int = 2,
                   inkernel_limit: bool = False):
     """Build (master_node, state) for the flagship pipeline.
 
@@ -739,7 +758,7 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
         fused = FusedWidePipeline(
             chain, out_rate, gains, n_streams, "low_pass", 2000.0, 0.5,
             with_agc=with_agc, lookahead=lookahead, precision=precision,
-            firfold=firfold, agc_ring=agc_ring, m=m,
+            firfold=firfold, agc_ring=agc_ring, agc_group=agc_group, m=m,
             master_limit=LimitSettings() if inkernel_limit else None,
         )
         if inkernel_limit:

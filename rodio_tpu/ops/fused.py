@@ -75,6 +75,19 @@ from ..core.math import LOG2_10, LOG10_2, exp2_precise, log2_precise
 LANES = 1024  # 8 sublanes x 128 lanes = one f32 vreg per biquad time step
 
 
+def _ipow(x, n: int):
+    """x ** n for a traced scalar and static positive int, as explicit
+    squaring (Mosaic-friendly: no integer_pow lowering)."""
+    r = None
+    b = x
+    while n:
+        if n & 1:
+            r = b if r is None else r * b
+        b = b * b
+        n >>= 1
+    return r
+
+
 def _tree_sum(terms):
     # pairwise reduction: depth log2(n) instead of n — the serial loops
     # are partly latency-bound, so the add-tree depth IS the cost
@@ -95,7 +108,8 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                   lookahead: int = 1, subblk: int = 0,
                   binary_mix: bool = False, bfold: bool = False,
                   wsplit: bool = False, firfold: bool = False,
-                  ring_chunks: int = 0, limiter: tuple = None):
+                  ring_chunks: int = 0, limiter: tuple = None,
+                  nslot: int = 3):
     _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 mixt_ref, state_ref, out_ref, out_state_ref,
                 carry, xraw, x_scr, y_scr, sems,
@@ -103,7 +117,7 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 lookahead=lookahead, subblk=subblk, binary_mix=binary_mix,
                 bfold=bfold, wsplit=wsplit, firfold=firfold,
                 ring_chunks=ring_chunks,
-                ab_ref=ab_ref, corr_scr=corr_scr,
+                ab_ref=ab_ref, corr_scr=corr_scr, nslot=nslot,
                 limiter=limiter, lim_ref=lim_ref,
                 out_lim_ref=out_lim_ref, limc=limc)
 
@@ -119,7 +133,8 @@ def _fused_agc_kernel(c0_ref, k0_ref, agcp_ref, c_ref, chunks_ref, xn_ref,
                       lookahead: int, rs_slots: int, lag: int,
                       bfold: bool = False, wsplit: bool = False,
                       firfold: bool = False, ring_chunks: int = 0,
-                      limiter: tuple = None):
+                      limiter: tuple = None, agc_group: int = 0,
+                      nslot: int = 3):
     """AGC-bearing variant: adds the per-stream AGC stage between the
     biquad and the mix (src/source/agc.rs:397-496, decomposed form), with
     the 8192-interleaved-sample RMS window kept as an HBM ring of squared
@@ -140,7 +155,8 @@ def _fused_agc_kernel(c0_ref, k0_ref, agcp_ref, c_ref, chunks_ref, xn_ref,
                 k0_ref=k0_ref, agc_ref=agc_ref, ring_ref=ring_ref,
                 out_agc_ref=out_agc_ref, agc_carry=agc_carry,
                 old_scr=old_scr, sq_scr=sq_scr, rsems=rsems, wsems=wsems,
-                rs_slots=rs_slots, lag=lag,
+                rs_slots=rs_slots, lag=lag, agc_group=agc_group,
+                nslot=nslot,
                 limiter=limiter, lim_ref=lim_ref,
                 out_lim_ref=out_lim_ref, limc=limc)
 
@@ -158,10 +174,10 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 limc=None,
                 ab_ref=None, corr_scr=None,
                 agc=None, agcp_ref=None, k0_ref=None, agc_ref=None,
-                ring_ref=None,
+                ring_ref=None, agc_group: int = 0,
                 out_agc_ref=None, agc_carry=None, old_scr=None,
                 sq_scr=None, rsems=None, wsems=None,
-                rs_slots: int = 0, lag: int = 0):
+                rs_slots: int = 0, lag: int = 0, nslot: int = 3):
     """One sequential time-grid step: m chunk DMAs -> resample -> biquad
     -> mix. All compute is time-major.
 
@@ -208,9 +224,16 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
         # the old block IS one full slot and only the slot-B copy runs
         # (row_a == mto, len_a == 0 — a zero-length slice would be out
         # of bounds).
-        q_off = lag // mto
-        row_a = (q_off + 1) * mto - lag     # first row within slot A
-        len_a = mto - row_a
+        # agc_group > 0: the ring's row unit is a GROUP of agc_group
+        # frames (one [8,128] row of per-group window sums, halves
+        # duplicated) — ring traffic drops by the group factor; the same
+        # straddle arithmetic applies in group units (the wrapper
+        # asserts agc_group | lag and agc_group | m*to).
+        rr = mto // agc_group if agc_group else mto     # ring rows/step
+        rlag = lag // agc_group if agc_group else lag   # lag in rows
+        q_off = rlag // rr
+        row_a = (q_off + 1) * rr - rlag     # first row within slot A
+        len_a = rr - row_a
         if len_a:
             slot_a = jax.lax.rem(
                 gstep - (q_off + 1) + 2 * rs_slots, rs_slots
@@ -260,18 +283,20 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
             xraw.at[slot], sems.at[slot],
         ).start()
 
-    NSLOT = 3
+    NSLOT = nslot
     slot = jax.lax.rem(t_idx, NSLOT)
 
     @pl.when(t_idx == 0)
     def _warm():
-        _start(t_idx, slot)
-        if n_t > 1:
-            _start(t_idx + 1, jax.lax.rem(t_idx + 1, NSLOT))
+        # fill the pipeline: NSLOT-1 copies in flight before the
+        # steady-state prefetch below issues the NSLOT'th
+        for j in range(min(NSLOT - 1, n_t)):
+            _start(t_idx + j, jax.lax.rem(t_idx + j, NSLOT))
 
-    @pl.when(t_idx + 2 < n_t)
+    @pl.when(t_idx + (NSLOT - 1) < n_t)
     def _prefetch():
-        _start(t_idx + 2, jax.lax.rem(t_idx + 2, NSLOT))
+        _start(t_idx + (NSLOT - 1),
+               jax.lax.rem(t_idx + (NSLOT - 1), NSLOT))
 
     # 2: resample each chunk on the MXU, stage time-major
     if not int3:
@@ -519,82 +544,177 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
             cp_a.wait()
         if row_a:
             cp_b.wait()
-        # AW=4 balances fori overhead against Mosaic compile time (the
-        # AW=8 unroll measured ~11 min of kernel compile through the
-        # tunnel's AOT helper)
-        AW = next(w for w in (4, 2, 1) if mto % w == 0)
         dtv = y_scr.dtype
         ring_bf16 = sq_scr.dtype == jnp.bfloat16
+        if agc_group:
+            # GROUP-RATE AGC (opt-in, documented deviation vs the
+            # per-interleaved-sample smoother of agc.rs:397-496): window
+            # sums and peaks reduce once per AG-frame group; the
+            # group-end RMS window sum is EXACT (the same quantized
+            # group sums enter and later leave the ring); the gain
+            # smoother advances once per group with speed^(2*AG) —
+            # identical to 2*AG per-sub-step updates toward a
+            # group-constant desired gain; gains apply as a group
+            # staircase (AG/fs seconds per step). See the AgcGroup
+            # contract note in effects/agc.py.
+            AG = agc_group
+            G = mto // AG
+            p2 = 2 * AG
+            attG = _ipow(att, p2)
+            relG = _ipow(rel, p2)
+            crelG = 1.0 - relG
 
-        # stage A (vector, full-width): publish this step's squares and
-        # precompute the per-sub-step RMS deltas d = sq - old into x_scr
-        # (dead after the IIR), so the serial chain below carries only
-        # the truly sequential ops. y*y == |y|*|y| in f32, and
-        # rs + (sqv - old) reassociates nothing vs the per-sub-step
-        # form. With a bf16 ring, the value ADDED to the running sum is
-        # the same quantized value SUBTRACTED `lag` frames later (the
-        # delta is formed from the quantized square), so the window sum
-        # carries no drift — only a ~2^-9-relative per-sample noise on
-        # the 8192-sample mean (documented AGC parity budget).
-        yv = y_scr[...]
-        sqv = yv * yv
-        if ring_bf16:
-            sqq = sqv.astype(jnp.bfloat16)
-            sq_scr[wslot] = sqq
-            sqf = sqq.astype(dtv)
+            # stage A (independent per group, pipelined): current group
+            # window sums + group peaks; publish quantized sums to the
+            # ring slot; park [d_group, peak_group] in x_scr row g
+            # (x_scr is dead after the IIR; row g was consumed by group
+            # g//AG <= g, so the write never clobbers unread input)
+            def group_sums(g_i, _):
+                yg = y_scr[pl.ds(g_i * AG, AG)]        # [AG, 8, 128]
+                sq = yg * yg
+                cur = sq[0]
+                mx = jnp.abs(yg[0])
+                for j in range(1, AG):
+                    cur = cur + sq[j]
+                    mx = jnp.maximum(mx, jnp.abs(yg[j]))
+                cur4 = cur[0:4] + cur[4:8]             # [4, 128]
+                ym = jnp.maximum(mx[0:4], mx[4:8])
+                curq = jnp.concatenate([cur4, cur4], axis=0).astype(
+                    sq_scr.dtype
+                )
+                sq_scr[wslot, g_i] = curq
+                d = (curq[0:4].astype(dtv)
+                     - old_scr[g_i][0:4].astype(dtv))
+                x_scr[g_i] = jnp.concatenate([d, ym], axis=0)
+                return 0
+
+            jax.lax.fori_loop(0, G, group_sums, 0)
+
+            # serial pass 1: running-sum + peak chains (1 add + 2 ops
+            # per GROUP instead of per sub-step)
+            def chain_loop(g_i, carrs):
+                rs, pk = carrs
+                v = x_scr[g_i]
+                rs = rs + v[0:4]
+                ymg = v[4:8]
+                pk = jnp.maximum(ymg, relG * pk + crelG * ymg)
+                x_scr[g_i] = jnp.concatenate([rs, pk], axis=0)
+                return (rs, pk)
+
+            rs, pk = jax.lax.fori_loop(
+                0, G, chain_loop, (agc_carry[0:4], agc_carry[4:8])
+            )
+
+            # pass 2 (vector): desired gain for every group at once
+            v = x_scr[pl.ds(0, G)]
+            rs_g = v[:, 0:4]
+            pk_g = v[:, 4:8]
+            rg = jnp.where(
+                rs_g > 0.0, target * jax.lax.rsqrt(rs_g * invw), mg
+            )
+            pg = jnp.where(
+                pk_g > 0.0, jnp.minimum(target / pk_g, mg), mg
+            )
+            des = jnp.maximum(jnp.minimum(rg, pg), floor_)
+            x_scr[pl.ds(0, G)] = jnp.concatenate([des, des], axis=1)
+
+            # serial pass 3: the dual-rate gain smoother, once per group
+            def gain_loop(g_i, gv):
+                dd = x_scr[g_i][0:4]
+                speed = jnp.where(dd > gv, attG, relG)
+                gv = jnp.clip(gv * speed + dd * (1.0 - speed), 0.1, mg)
+                x_scr[g_i] = jnp.concatenate([gv, gv], axis=0)
+                return gv
+
+            g = jax.lax.fori_loop(0, G, gain_loop, agc_carry[8:12])
+
+            # pass 4 (vector): apply the group-staircase gains
+            def apply_loop(g_i, _):
+                gg = x_scr[g_i]
+                y_scr[pl.ds(g_i * AG, AG)] = (
+                    y_scr[pl.ds(g_i * AG, AG)] * gg[None]
+                )
+                return 0
+
+            jax.lax.fori_loop(0, G, apply_loop, 0)
+            agc_carry[0:4] = rs
+            agc_carry[4:8] = pk
+            agc_carry[8:12] = g
         else:
-            sq_scr[wslot] = sqv
-            sqf = sqv
-        x_scr[...] = sqf - old_scr[...].astype(dtv)
+          # AW=4 balances fori overhead against Mosaic compile time (the
+          # AW=8 unroll measured ~11 min of kernel compile through the
+          # tunnel's AOT helper)
+          AW = next(w for w in (4, 2, 1) if mto % w == 0)
 
-        # serial stage (agc.rs:397-496): running-sum + peak chains with
-        # the desired-gain computer hoisted per AW-group, then the
-        # data-dependent gain smoother. (A fully vectorized des phase
-        # with per-sub-step rs/pk scratches was measured SLOWER: its
-        # VMEM forced the chunk-DMA pipeline to 2-deep, losing more to
-        # DMA serialization than the half-vreg des ops cost.)
-        crel = 1.0 - rel
+          # stage A (vector, full-width): publish this step's squares and
+          # precompute the per-sub-step RMS deltas d = sq - old into x_scr
+          # (dead after the IIR), so the serial chain below carries only
+          # the truly sequential ops. y*y == |y|*|y| in f32, and
+          # rs + (sqv - old) reassociates nothing vs the per-sub-step
+          # form. With a bf16 ring, the value ADDED to the running sum is
+          # the same quantized value SUBTRACTED `lag` frames later (the
+          # delta is formed from the quantized square), so the window sum
+          # carries no drift — only a ~2^-9-relative per-sample noise on
+          # the 8192-sample mean (documented AGC parity budget).
+          yv = y_scr[...]
+          sqv = yv * yv
+          if ring_bf16:
+              sqq = sqv.astype(jnp.bfloat16)
+              sq_scr[wslot] = sqq
+              sqf = sqq.astype(dtv)
+          else:
+              sq_scr[wslot] = sqv
+              sqf = sqv
+          x_scr[...] = sqf - old_scr[...].astype(dtv)
 
-        def agc_loop(i, carrs):
-            rs, pk, g = carrs
-            t0 = i * AW
-            vals = []
-            for j in range(AW):
-                d = x_scr[t0 + j]
-                y = y_scr[t0 + j]
-                for c in (0, 1):
-                    xs = jnp.abs(y[4 * c : 4 * c + 4])
-                    rs = rs + d[4 * c : 4 * c + 4]
-                    pk = jnp.maximum(xs, rel * pk + crel * xs)
-                    vals.append((rs, pk))
-            des = []
-            for rs_i, pk_i in vals:
-                rg = jnp.where(
-                    rs_i > 0.0, target * jax.lax.rsqrt(rs_i * invw), mg
-                )
-                pg = jnp.where(
-                    pk_i > 0.0, jnp.minimum(target / pk_i, mg), mg
-                )
-                des.append(jnp.maximum(jnp.minimum(rg, pg), floor_))
-            for j in range(AW):
-                y = y_scr[t0 + j]
-                for c in (0, 1):
-                    dd = des[2 * j + c]
-                    speed = jnp.where(dd > g, att, rel)
-                    g = g * speed + dd * (1.0 - speed)
-                    g = jnp.clip(g, 0.1, mg)
-                    y_scr[t0 + j, 4 * c : 4 * c + 4] = (
-                        y[4 * c : 4 * c + 4] * g
-                    )
-            return (rs, pk, g)
+          # serial stage (agc.rs:397-496): running-sum + peak chains with
+          # the desired-gain computer hoisted per AW-group, then the
+          # data-dependent gain smoother. (A fully vectorized des phase
+          # with per-sub-step rs/pk scratches was measured SLOWER: its
+          # VMEM forced the chunk-DMA pipeline to 2-deep, losing more to
+          # DMA serialization than the half-vreg des ops cost.)
+          crel = 1.0 - rel
 
-        rs, pk, g = jax.lax.fori_loop(
-            0, mto // AW, agc_loop,
-            (agc_carry[0:4], agc_carry[4:8], agc_carry[8:12]),
-        )
-        agc_carry[0:4] = rs
-        agc_carry[4:8] = pk
-        agc_carry[8:12] = g
+          def agc_loop(i, carrs):
+              rs, pk, g = carrs
+              t0 = i * AW
+              vals = []
+              for j in range(AW):
+                  d = x_scr[t0 + j]
+                  y = y_scr[t0 + j]
+                  for c in (0, 1):
+                      xs = jnp.abs(y[4 * c : 4 * c + 4])
+                      rs = rs + d[4 * c : 4 * c + 4]
+                      pk = jnp.maximum(xs, rel * pk + crel * xs)
+                      vals.append((rs, pk))
+              des = []
+              for rs_i, pk_i in vals:
+                  rg = jnp.where(
+                      rs_i > 0.0, target * jax.lax.rsqrt(rs_i * invw), mg
+                  )
+                  pg = jnp.where(
+                      pk_i > 0.0, jnp.minimum(target / pk_i, mg), mg
+                  )
+                  des.append(jnp.maximum(jnp.minimum(rg, pg), floor_))
+              for j in range(AW):
+                  y = y_scr[t0 + j]
+                  for c in (0, 1):
+                      dd = des[2 * j + c]
+                      speed = jnp.where(dd > g, att, rel)
+                      g = g * speed + dd * (1.0 - speed)
+                      g = jnp.clip(g, 0.1, mg)
+                      y_scr[t0 + j, 4 * c : 4 * c + 4] = (
+                          y[4 * c : 4 * c + 4] * g
+                      )
+              return (rs, pk, g)
+
+          rs, pk, g = jax.lax.fori_loop(
+              0, mto // AW, agc_loop,
+              (agc_carry[0:4], agc_carry[4:8], agc_carry[8:12]),
+          )
+          agc_carry[0:4] = rs
+          agc_carry[4:8] = pk
+          agc_carry[8:12] = g
 
         # publish this step's squares into the ring
         wcp = pltpu.make_async_copy(
@@ -1111,7 +1231,8 @@ def _common_scratch(P, m, to, nslot: int = 3):
     jax.jit,
     static_argnames=("fr", "to", "m", "interpret", "precision", "lookahead",
                      "subblk", "binary_mix", "bfold", "firfold",
-                     "coeffs_static", "ring_chunks", "limiter"),
+                     "coeffs_static", "ring_chunks", "limiter",
+                     "dma_depth"),
 )
 def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
                               bq_state, *, fr: int, to: int, m: int = 2,
@@ -1126,6 +1247,7 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
                               op=None,
                               limiter: tuple = None,
                               lim_state=None,
+                              dma_depth: int = 3,
                               interpret: bool = False):
     """Fused pipeline over one block, reading straight from the chunked
     buffer.
@@ -1165,7 +1287,7 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
                           subblk=subblk, binary_mix=binary_mix,
                           bfold=P["bfold"], wsplit=P["wsplit"],
                           firfold=firfold, ring_chunks=ring_chunks,
-                          limiter=limiter),
+                          limiter=limiter, nslot=dma_depth),
         grid=(n_t,),
         in_specs=in_specs,
         out_specs=(
@@ -1179,7 +1301,7 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
             jax.ShapeDtypeStruct((LANES, 4), dt),
             jax.ShapeDtypeStruct((8, 2), dt),
         ),
-        scratch_shapes=_common_scratch(P, m, to) + [
+        scratch_shapes=_common_scratch(P, m, to, dma_depth) + [
             pltpu.VMEM((P["n_corr"], 8, 128), dt),     # corr rows
             pltpu.VMEM((8, 128), dt),                  # limiter carries
         ],
@@ -1197,7 +1319,8 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
 @functools.partial(
     jax.jit,
     static_argnames=("fr", "to", "m", "interpret", "precision", "lookahead",
-                     "lag", "bfold", "firfold", "ring_chunks", "limiter"),
+                     "lag", "bfold", "firfold", "ring_chunks", "limiter",
+                     "agc_group", "dma_depth"),
     donate_argnames=("ring",),
 )
 def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
@@ -1213,6 +1336,8 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
                                   op=None,
                                   limiter: tuple = None,
                                   lim_state=None,
+                                  agc_group: int = 0,
+                                  dma_depth: int = 3,
                                   interpret: bool = False):
     """AGC-bearing fused pipeline (see _fused_agc_kernel).
 
@@ -1235,9 +1360,19 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
     n_t = P["n_t"]
     dt = P["dt"]
     mto = m * to
+    if agc_group:
+        assert agc_group >= 2, "agc_group must be >= 2 (or 0 = exact)"
+        assert mto % agc_group == 0, (
+            f"agc_group {agc_group} must divide m*to = {mto}"
+        )
+        assert lag % agc_group == 0, (
+            f"agc_group {agc_group} must divide the RMS lag {lag}"
+        )
+    rr = mto // agc_group if agc_group else mto    # ring rows per step
+    rlag = lag // agc_group if agc_group else lag  # lag in ring rows
     rs_slots = ring.shape[0]
-    assert ring.shape == (rs_slots, mto, 8, 128)
-    assert rs_slots >= -(-lag // mto) + 2
+    assert ring.shape == (rs_slots, rr, 8, 128)
+    assert rs_slots >= -(-rlag // rr) + 2
     # the slot-B read of step t touches slot t - lag//mto; ring writes
     # are only waited two steps after issue, so the read would race the
     # in-flight write when the RMS window is shorter than two grid steps
@@ -1273,6 +1408,7 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
             rs_slots=rs_slots, lag=lag, bfold=P["bfold"],
             wsplit=P["wsplit"], firfold=firfold,
             ring_chunks=ring_chunks, limiter=limiter,
+            agc_group=agc_group, nslot=dma_depth,
         ),
         grid=(n_t,),
         in_specs=in_specs,
@@ -1291,10 +1427,10 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
             jax.ShapeDtypeStruct(ring.shape, ring.dtype),
             jax.ShapeDtypeStruct((8, 2), dt),
         ),
-        scratch_shapes=_common_scratch(P, m, to) + [
+        scratch_shapes=_common_scratch(P, m, to, dma_depth) + [
             pltpu.VMEM((12, 128), dt),            # agc carry
-            pltpu.VMEM((mto, 8, 128), ring.dtype),  # old window
-            pltpu.VMEM((2, mto, 8, 128), ring.dtype),  # sq (dbl-buffered)
+            pltpu.VMEM((rr, 8, 128), ring.dtype),   # old window
+            pltpu.VMEM((2, rr, 8, 128), ring.dtype),  # sq (dbl-buffered)
             pltpu.SemaphoreType.DMA((2,)),        # ring reads
             pltpu.SemaphoreType.DMA((2,)),        # ring writes
             pltpu.VMEM((8, 128), dt),             # limiter carries

@@ -452,3 +452,58 @@ def test_fused_agc_live_params_zero_retrace(rng):
     assert int(v2) == 640
     if before is not None and after is not None:
         assert after == before, "live AGC knobs must not re-trace"
+
+
+def test_fused_agc_group_tracks_exact(rng):
+    """Opt-in group-rate AGC (agc_group=8, see the AgcGroup contract in
+    effects/agc.py): window sums are exact per group, the gain smoother
+    advances once per group with speed^(2*AG). The master output must
+    track the exact per-sample in-kernel smoother within the documented
+    ~2e-3 relative budget, through RMS-ring wraparound."""
+    S = 8
+    node_g, sg = make_flagship(S, seconds=2.0, seed=3, scan_mode="fused",
+                               with_agc=True, agc_group=8,
+                               max_block=1920)
+    node_e, se = make_flagship(S, seconds=2.0, seed=3, scan_mode="fused",
+                               with_agc=True, max_block=1920)
+    eg = jax.jit(lambda s: node_g.emit(s, 640))
+    ee = jax.jit(lambda s: node_e.emit(s, 640))
+    # 9 blocks x 640 = 5760 frames > the 4096-frame window lag
+    for blk in range(9):
+        sg, og, vg = eg(sg)
+        se, oe, ve = ee(se)
+        assert int(vg) == int(ve) == 640
+        og_, oe_ = np.asarray(og), np.asarray(oe)
+        rel = np.abs(og_ - oe_) / (np.abs(oe_) + 1e-6)
+        assert rel.max() < 2e-3, f"block {blk}: max rel {rel.max()}"
+
+
+def test_fused_agc_group_rejects_bad_group(rng):
+    """agc_group must be >= 2 and divide both m*to and the RMS lag."""
+    with pytest.raises(AssertionError, match="agc_group"):
+        make_flagship(4, seconds=0.2, scan_mode="fused", with_agc=True,
+                      agc_group=7)
+    with pytest.raises(AssertionError, match="agc_group"):
+        make_flagship(4, seconds=0.2, scan_mode="fused", with_agc=True,
+                      agc_group=1)
+
+
+def test_fused_agc_group_live_params(rng):
+    """Group mode derives speed^(2*AG) in-kernel from the SMEM params,
+    so set_agc_params stays a zero-re-trace state update there too."""
+    node_f, sf = make_flagship(4, seconds=0.5, seed=9, scan_mode="fused",
+                               with_agc=True, agc_group=8)
+    fused = _pipe(node_f)
+    ef = jax.jit(lambda s: node_f.emit(s, 640))
+    sf, o1, v1 = ef(sf)
+
+    from rodio_tpu.ops.fused import fused_resample_biquad_agc_mix
+
+    before = fused_resample_biquad_agc_mix._cache_size()
+    ps = _find_sub(sf, "agc_par")
+    ps.update(fused.set_agc_params(ps, attack=0.1, release=0.05))
+    sf, o2, v2 = ef(sf)
+    after = fused_resample_biquad_agc_mix._cache_size()
+    assert int(v2) == 640
+    if before is not None and after is not None:
+        assert after == before, "live AGC knobs must not re-trace"
