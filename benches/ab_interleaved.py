@@ -89,6 +89,9 @@ def main():
         ("la4-g8", dict(firfold=False, lookahead=4, agc_group=8)),
         ("la4-g16", dict(firfold=False, lookahead=4, agc_group=16)),
         ("la4-g32", dict(firfold=False, lookahead=4, agc_group=32)),
+        # chunk-DMA pipeline depth (default 3)
+        ("la4-d4", dict(firfold=False, lookahead=4, dma_depth=4)),
+        ("la4-d5", dict(firfold=False, lookahead=4, dma_depth=5)),
     ]
     only = os.environ.get("AB_ONLY")
     variants = [(n, k) for n, k in catalog

@@ -63,6 +63,22 @@ def _set_path(state, path, value):
     return {**state, path[0]: _set_path(state[path[0]], path[1:], value)}
 
 
+def _wire_decode(block, wire):
+    """Device-side wire decode (inside the push jits): uint8-packed wire
+    formats back to f32. i24 is little-endian 3-byte two's-complement."""
+    import jax.numpy as jnp
+
+    if wire == "i16":
+        return block.astype(jnp.float32) * (1.0 / 32768.0)
+    if wire == "i24":
+        v = (block[..., 0].astype(jnp.int32)
+             | (block[..., 1].astype(jnp.int32) << 8)
+             | (block[..., 2].astype(jnp.int32) << 16))
+        v = (v ^ 0x800000) - 0x800000  # sign-extend 24 -> 32
+        return v.astype(jnp.float32) * (1.0 / 8388608.0)
+    return block
+
+
 class StreamFarm:
     """N file paths -> one mixed stereo output via streaming decode.
 
@@ -136,10 +152,12 @@ class StreamFarm:
         else:
             self._push = block_frames
             capacity = 4 * block_frames
-        #: host->device wire format: "f32" (bit-exact) or "i16" (half the
+        #: host->device wire format: "f32" (bit-exact), "i16" (half the
         #: transfer — EXACT for 16-bit-sourced content like CD flac, ~-90dB
-        #: quantization otherwise; useful when the interconnect is thin)
-        assert wire in ("f32", "i16")
+        #: quantization otherwise), or "i24" (3 bytes/sample — EXACT for
+        #: 16- AND 24-bit-sourced content, ~-138dB quantization otherwise;
+        #: the fidelity/bandwidth middle ground for thin host links)
+        assert wire in ("f32", "i16", "i24")
         self.wire = wire
         if gains is None:
             gains = np.full(S, 1.0 / S, np.float32)
@@ -323,8 +341,7 @@ class StreamFarm:
 
         @jax.jit
         def step(state, block, count, retire):
-            if wire == "i16":
-                block = block.astype(jnp.float32) * (1.0 / 32768.0)
+            block = _wire_decode(block, wire)
             ps = _get_path(state, path)
             ps = port.push(ps, block, count, retire)
             state = _set_path(state, path, ps)
@@ -341,8 +358,7 @@ class StreamFarm:
 
         @jax.jit
         def push_only(state, block, count, retire):
-            if wire == "i16":
-                block = block.astype(jnp.float32) * (1.0 / 32768.0)
+            block = _wire_decode(block, wire)
             ps = _get_path(state, path)
             ps = port.push(ps, block, count, retire)
             return _set_path(state, path, ps)
@@ -352,6 +368,12 @@ class StreamFarm:
     def _encode(self, block: np.ndarray) -> np.ndarray:
         if self.wire == "i16":
             return np.clip(block * 32768.0, -32768, 32767).astype(np.int16)
+        if self.wire == "i24":
+            q = np.clip(np.rint(block * 8388608.0), -8388608,
+                        8388607).astype("<i4")
+            return np.ascontiguousarray(
+                q.view(np.uint8).reshape(*q.shape, 4)[..., :3]
+            )
         return block
 
     def _in_left(self, o: int) -> int:
@@ -370,16 +392,18 @@ class StreamFarm:
         feed, master, path = self.feed, self.master, self._port_path
         n = self.block_frames
 
+        wire = self.wire
+
         @jax.jit
         def prime_push(state, block):
             fs = _get_path(state, path)
-            fs = feed.push(fs, block, prime=True)
+            fs = feed.push(fs, _wire_decode(block, wire), prime=True)
             return _set_path(state, path, fs)
 
         @jax.jit
         def step(state, block):
             fs = _get_path(state, path)
-            fs = feed.push(fs, block)
+            fs = feed.push(fs, _wire_decode(block, wire))
             state = _set_path(state, path, fs)
             return master.emit(state, n)
 
@@ -408,11 +432,13 @@ class StreamFarm:
         # prime: (Kp+1)*fr frames complete chunks 0..Kp-1 and seed the
         # carried boundary tail
         state = prime_push(
-            state, jax.device_put(self._assemble_frames(
+            state, jax.device_put(self._encode(self._assemble_frames(
                 (self._Kp + 1) * fr
-            ))
+            )))
         )
-        dev_block = jax.device_put(self._assemble_frames(self._push))
+        dev_block = jax.device_put(
+            self._encode(self._assemble_frames(self._push))
+        )
         energy_acc = jnp.zeros(())
         valid_acc = jnp.zeros((), jnp.int32)
         for k in range(n_blocks):
@@ -420,7 +446,7 @@ class StreamFarm:
             state, out, valid = step(state, dev_block)
             if k + 1 < n_blocks:
                 dev_block = jax.device_put(
-                    self._assemble_frames(self._push)
+                    self._encode(self._assemble_frames(self._push))
                 )
             if on_block is not None:
                 on_block(k, out, valid)

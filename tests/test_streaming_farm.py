@@ -363,3 +363,47 @@ def test_chained_ogg_in_farm(tmp_path):
     valid, energy, overflow = farm.run(8)
     farm.close()
     assert valid == 8 * 1024 and energy > 0 and not overflow
+
+
+def test_stream_farm_i24_wire():
+    """i24 wire (3-byte two's-complement little-endian) vs the f32 wire:
+    same farm, same content — outputs agree within 24-bit quantization
+    (2^-23 per sample into a 1/S-scaled mix)."""
+    _skip_without_native()
+    from rodio_tpu.parallel.farm import StreamFarm
+
+    outs = {}
+    for wire in ("f32", "i24"):
+        farm = StreamFarm([ASSET] * 3, block_frames=1024, loop=False,
+                          decode_workers=3, wire=wire)
+        blocks = []
+        valid, energy, overflow = farm.run(
+            8, on_block=lambda k, o, v: blocks.append(
+                np.asarray(o)[:, :int(v)])
+        )
+        farm.close()
+        assert valid == 8 * 1024 and not overflow and energy > 0
+        outs[wire] = np.concatenate(blocks, axis=1)
+    np.testing.assert_allclose(outs["i24"], outs["f32"], atol=4e-7)
+
+
+def test_i24_wire_codec_roundtrip():
+    """Host encode -> device decode round-trip is exact to 2^-24 and
+    EXACT for 16-bit-quantized samples (the i16-sourced flac case)."""
+    import jax.numpy as jnp
+
+    from rodio_tpu.parallel.farm import StreamFarm, _wire_decode
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1.0, 1.0, (4, 256)).astype(np.float32)
+    x[0, :64] = np.round(x[0, :64] * 32768.0) / 32768.0  # 16-bit grid
+    x[0, 64] = -1.0
+    x[0, 65] = 1.0 - 2.0 ** -23
+
+    farm = StreamFarm.__new__(StreamFarm)
+    farm.wire = "i24"
+    enc = farm._encode(x)
+    assert enc.dtype == np.uint8 and enc.shape == (4, 256, 3)
+    dec = np.asarray(_wire_decode(jnp.asarray(enc), "i24"))
+    np.testing.assert_allclose(dec, x, atol=2.0 ** -24)
+    np.testing.assert_array_equal(dec[0, :66], x[0, :66])
