@@ -92,6 +92,8 @@ def main():
         # chunk-DMA pipeline depth (default 3)
         ("la4-d4", dict(firfold=False, lookahead=4, dma_depth=4)),
         ("la4-d5", dict(firfold=False, lookahead=4, dma_depth=5)),
+        ("la4-g16d4", dict(firfold=False, lookahead=4, agc_group=16,
+                           dma_depth=4)),
     ]
     only = os.environ.get("AB_ONLY")
     variants = [(n, k) for n, k in catalog

@@ -95,6 +95,9 @@ def bench_cases(which):
             "agc_enabled": lambda: AutomaticGainControl(
                 src(), AgcSettings(), mode="pallas"
             ),
+            "agc_enabled_group8": lambda: AutomaticGainControl(
+                src(), AgcSettings(), mode="pallas", group=8
+            ),
             "limiter": lambda: Limit(
                 src().amplify(2.0), LimitSettings(), mode="pallas"
             ),

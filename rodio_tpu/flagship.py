@@ -61,7 +61,7 @@ class FusedWidePipeline(Node):
                  subblk: int = 0, firfold="auto",
                  with_agc: bool = False, agc_settings=None,
                  agc_ring: str = "bf16", agc_group: int = 0,
-                 master_limit=None):
+                 dma_depth: int = 4, master_limit=None):
         assert getattr(input_node, "RANDOM_ACCESS", False) and hasattr(
             input_node, "slice_frames"
         ), "FusedWidePipeline needs a sliceable random-access source"
@@ -81,6 +81,7 @@ class FusedWidePipeline(Node):
         assert self.from_ != self.to, "identity ratio: use the plain chain"
         self.m = m
         self.lookahead = lookahead
+        self.dma_depth = int(dma_depth)
         if precision == "auto":
             # int3: exact bf16 dots (integer-scaled weights + exact
             # 3-way bf16 split of the PCM); weights <= 256 ride one
@@ -432,6 +433,7 @@ class FusedWidePipeline(Node):
                 limiter=self._limiter,
                 lim_state=state.get("lim"),
                 agc_group=self._agc_group,
+                dma_depth=self.dma_depth,
                 interpret=interpret,
             )
             if self._limiter is not None:
@@ -452,6 +454,7 @@ class FusedWidePipeline(Node):
                 op=state["op"],
                 limiter=self._limiter,
                 lim_state=state.get("lim"),
+                dma_depth=self.dma_depth,
                 interpret=interpret,
             )
             if self._limiter is not None:
@@ -722,7 +725,7 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
                   max_block: int = 8192, lookahead: int = 4,
                   precision: str = "auto", firfold="auto",
                   agc_ring: str = "bf16", agc_group: int = 0, m: int = 2,
-                  inkernel_limit: bool = False):
+                  dma_depth: int = 4, inkernel_limit: bool = False):
     """Build (master_node, state) for the flagship pipeline.
 
     ``source_pcm``: optional [channels, frames] PCM at in_rate shared as the
@@ -759,6 +762,7 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
             chain, out_rate, gains, n_streams, "low_pass", 2000.0, 0.5,
             with_agc=with_agc, lookahead=lookahead, precision=precision,
             firfold=firfold, agc_ring=agc_ring, agc_group=agc_group, m=m,
+            dma_depth=dma_depth,
             master_limit=LimitSettings() if inkernel_limit else None,
         )
         if inkernel_limit:

@@ -1215,7 +1215,7 @@ def _common_in_specs(P, mem, K):
     ]
 
 
-def _common_scratch(P, m, to, nslot: int = 3):
+def _common_scratch(P, m, to, nslot: int = 4):
     return [
         pltpu.VMEM((4, 8, 128), P["dt"]),
         pltpu.VMEM((nslot, m, P["npc"] * P["fr_p"], LANES), jnp.bfloat16)
@@ -1247,7 +1247,7 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
                               op=None,
                               limiter: tuple = None,
                               lim_state=None,
-                              dma_depth: int = 3,
+                              dma_depth: int = 4,
                               interpret: bool = False):
     """Fused pipeline over one block, reading straight from the chunked
     buffer.
@@ -1337,7 +1337,7 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
                                   limiter: tuple = None,
                                   lim_state=None,
                                   agc_group: int = 0,
-                                  dma_depth: int = 3,
+                                  dma_depth: int = 4,
                                   interpret: bool = False):
     """AGC-bearing fused pipeline (see _fused_agc_kernel).
 

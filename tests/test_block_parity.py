@@ -577,6 +577,36 @@ def test_agc_pallas_mode(rng):
     np.testing.assert_allclose(pal, exact, atol=1e-4)
 
 
+def test_agc_group_mode(rng):
+    """Node-path group-rate AGC (AgcGroup contract, effects/agc.py):
+    the decomposed pallas path with group=8 tracks the exact per-sample
+    smoother within the documented ~1e-3 relative budget, and rejects
+    invalid configurations."""
+    data = rng.uniform(-0.4, 0.4, (2, 8192)).astype(np.float32)
+    exact = np.asarray(render(
+        AutomaticGainControl(SamplesBuffer(2, 44100, data), AgcSettings(),
+                             mode="exact"), block_frames=1024))
+    grp = np.asarray(render(
+        AutomaticGainControl(SamplesBuffer(2, 44100, data), AgcSettings(),
+                             mode="pallas", group=8), block_frames=1024))
+    rel = np.abs(grp - exact) / (np.abs(exact) + 1e-6)
+    # budget is content-dependent (staircase vs moving desired gain):
+    # ~1e-3 on program material, up to ~3e-3 on full-scale noise
+    assert rel.max() < 4e-3
+
+    with pytest.raises(ValueError, match="mode='pallas'"):
+        AutomaticGainControl(SamplesBuffer(2, 44100, data), AgcSettings(),
+                             mode="exact", group=8)
+    with pytest.raises(ValueError, match=">= 2"):
+        AutomaticGainControl(SamplesBuffer(2, 44100, data), AgcSettings(),
+                             mode="pallas", group=1)
+    # group must divide the block's interleaved-sample count
+    bad = AutomaticGainControl(SamplesBuffer(2, 44100, data),
+                               AgcSettings(), mode="pallas", group=24)
+    with pytest.raises(ValueError, match="divide"):
+        bad.emit(bad.init_state(), 1024)
+
+
 @pytest.mark.parametrize("blocks", [(256, 1024), (251, 997)])
 def test_block_size_invariance(rng, blocks):
     """Rendering must not depend on block size: the same chain rendered
