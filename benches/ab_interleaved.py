@@ -94,6 +94,10 @@ def main():
         ("la4-d5", dict(firfold=False, lookahead=4, dma_depth=5)),
         ("la4-g16d4", dict(firfold=False, lookahead=4, agc_group=16,
                            dma_depth=4)),
+        # int2 halves the piece count, freeing VMEM for m=3 (int3+m3
+        # exceeds the 16MB scoped-VMEM limit)
+        ("la4-int2m3", dict(firfold=False, lookahead=4, precision="int2",
+                            m=3, _T=4800, dma_depth=3)),
     ]
     only = os.environ.get("AB_ONLY")
     variants = [(n, k) for n, k in catalog

@@ -387,6 +387,27 @@ def test_stream_farm_i24_wire():
     np.testing.assert_allclose(outs["i24"], outs["f32"], atol=4e-7)
 
 
+def test_stream_farm_fused_i24_wire():
+    """The i24 wire composes with the fused device path (encode on the
+    assembled chunk blocks, decode inside prime/step jits)."""
+    _skip_without_native()
+    from rodio_tpu.parallel.farm import StreamFarm
+
+    outs = {}
+    for wire in ("f32", "i24"):
+        farm = StreamFarm([ASSET] * 4, block_frames=1280, loop=False,
+                          decode_workers=4, fused=True, wire=wire)
+        blocks = []
+        valid, energy, overflow = farm.run(
+            6, on_block=lambda k, o, v: blocks.append(
+                np.asarray(o)[:, :int(v)])
+        )
+        farm.close()
+        assert not overflow and energy > 0
+        outs[wire] = np.concatenate(blocks, axis=1)
+    np.testing.assert_allclose(outs["i24"], outs["f32"], atol=4e-7)
+
+
 def test_i24_wire_codec_roundtrip():
     """Host encode -> device decode round-trip is exact to 2^-24 and
     EXACT for 16-bit-quantized samples (the i16-sourced flac case)."""
