@@ -75,8 +75,14 @@ def main():
     n_streams = int(os.environ.get("BENCH_STREAMS", "512"))
     scan_mode = os.environ.get("BENCH_SCAN_MODE", "fused")
     T = int(os.environ.get("BENCH_BLOCK", "4096"))
+    m = int(os.environ.get("BENCH_M", "2"))
+    # m=3 exceeds the 16 MB scoped-VMEM limit at dma_depth 4 (by 268 KB
+    # at int2; int3/m3 doesn't fit at all) — measured, BENCHMARKS.md.
+    dma_depth = int(os.environ.get("BENCH_DMA_DEPTH",
+                                   "3" if m >= 3 else "4"))
     if scan_mode == "fused":
-        T = max(320, -(-T // 320) * 320)  # fused blocks align to m*to
+        mto = m * 160
+        T = max(mto, -(-T // mto) * mto)  # fused blocks align to m*to
     n_blocks = int(os.environ.get("BENCH_BLOCKS", "60"))
     r1 = int(os.environ.get("BENCH_R1", "1"))
     r2 = int(os.environ.get("BENCH_R2", "6"))
@@ -104,6 +110,7 @@ def main():
         firfold=os.environ.get("BENCH_FIRFOLD", "auto"),
         agc_ring=os.environ.get("BENCH_AGC_RING", "bf16"),
         agc_group=int(os.environ.get("BENCH_AGC_GROUP", "0")),
+        m=m, dma_depth=dma_depth,
         inkernel_limit=os.environ.get("BENCH_INKERNEL_LIMIT", "0") == "1",
     )
 

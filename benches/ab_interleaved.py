@@ -98,6 +98,12 @@ def main():
         # exceeds the 16MB scoped-VMEM limit)
         ("la4-int2m3", dict(firfold=False, lookahead=4, precision="int2",
                             m=3, _T=4800, dma_depth=3)),
+        ("la4-int2T48", dict(firfold=False, lookahead=4,
+                             precision="int2", _T=4800)),
+        ("la4-T48", dict(firfold=False, lookahead=4, _T=4800)),
+        ("la4-int2m3g16", dict(firfold=False, lookahead=4,
+                               precision="int2", m=3, _T=4800,
+                               dma_depth=3, agc_group=16)),
     ]
     only = os.environ.get("AB_ONLY")
     variants = [(n, k) for n, k in catalog

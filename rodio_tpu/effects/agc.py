@@ -39,12 +39,21 @@ once per AG-frame group (2*AG interleaved samples at stereo), with
 - gains applied as a group staircase (AG/fs seconds per step, e.g.
   167 us at AG=8/48k — far below the 4 s default attack time).
 
-Measured deviation vs the per-sample smoother at AG=8: ~1e-3 max
-relative on program material (up to ~3e-3 on full-scale noise, where
-the desired gain moves fastest), converging over time (the smoother is
-a contraction toward the same desired-gain trajectory). This is a
-DOCUMENTED DEVIATION mode, default off; ``agc_group=0`` keeps the
-reference's per-sample semantics.
+The peak detector still sees EVERY sample (group-max reduction into
+the group recurrence), so an intra-group transient is never amplified
+above the per-sample mode's output — the deviation is one-sided-safe.
+
+Measured deviation vs the per-sample smoother at AG=8: ~1e-3..4e-3 max
+absolute on program material (music.wav), converging over time (the
+smoother is a contraction toward the same desired-gain trajectory).
+The deviation is CONTENT- AND SETTINGS-DEPENDENT: with the default
+INSTANT release (release_time=0, matching agc.rs:78) on full-scale
+noise, the exact gain is per-sample spiky and a group staircase
+deviates by ~1e-2..1e-1 on individual samples (always toward LESS
+gain near transients). Group mode is intended for program material or
+for release times >> the group duration. This is a DOCUMENTED
+DEVIATION mode, default off; ``agc_group=0`` keeps the reference's
+per-sample semantics.
 """
 from __future__ import annotations
 
@@ -253,17 +262,33 @@ class AutomaticGainControl(Node):
                 # group-rate smoother (AgcGroup contract, module
                 # docstring): the smoother advances once per
                 # self.group FRAMES (= group*cg interleaved samples)
-                # with speed^(group*cg) toward the group-end desired
-                # gain (whose rs/pk here are the exact per-sample
-                # values at the group boundary); gains apply as a
-                # group staircase
+                # with speed^(group*cg). The desired gain uses the
+                # group-END window sum but the group-MAX peak — the
+                # peak detector must still see every sample, else an
+                # intra-group transient escapes the peak limiter
+                # entirely under the instant-release default (same
+                # construction as the fused kernel's group branch).
+                # Gains apply as a group staircase.
                 stepn = self.group * cg
                 if m % stepn:
                     raise ValueError(
                         f"group {self.group} (x{cg} ch) must divide "
                         f"the {m}-sample block"
                     )
-                des_g = des[:, stepn - 1 :: stepn]
+                G = m // stepn
+                rs_g = rsum_seq[:, stepn - 1 :: stepn]
+                pk_g = jnp.max(peak_seq.reshape(S, G, stepn), axis=2)
+                rg_g = jnp.where(
+                    rs_g > 0.0,
+                    target * jax.lax.rsqrt(rs_g / RMS_WINDOW_SIZE),
+                    max_gain,
+                )
+                pg_g = jnp.where(
+                    pk_g > 0.0,
+                    jnp.minimum(target / pk_g, max_gain),
+                    max_gain,
+                )
+                des_g = jnp.maximum(jnp.minimum(rg_g, pg_g), floor)
                 gain_g = first_order_pallas(
                     des_g, des_g, state["gain"], op="agc_gain",
                     params=(float(att) ** stepn, float(rel) ** stepn,
@@ -271,7 +296,7 @@ class AutomaticGainControl(Node):
                     interpret=interp,
                 )
                 gain_seq = jnp.repeat(gain_g, stepn, axis=1)
-                gain_c = gain_g[:, m // stepn - 1]
+                gain_c = gain_g[:, G - 1]
             else:
                 gain_seq = first_order_pallas(
                     des, des, state["gain"], op="agc_gain",

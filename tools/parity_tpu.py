@@ -67,6 +67,12 @@ def row(name, got, exp, bound, note=""):
     return ok
 
 
+def _music_pcm(frames: int) -> np.ndarray:
+    """music.wav PCM (44.1k, taken as-is), first `frames` frames."""
+    pcm, _rate = read_wav(os.path.join(ASSETS, "music.wav"))
+    return np.asarray(pcm, np.float32)[:, :frames]
+
+
 def config1():
     """music.wav 44.1->48k via the rodio converter chain.
 
@@ -236,6 +242,20 @@ def pallas_kernels():
                              mode="pallas"), block_frames=4096)
     ok &= row("AGC pallas vs exact", interleave(b), interleave(a), 2e-5,
               "decomposed rsqrt path (documented)")
+    # group-rate smoother measured in its design regime (program
+    # material; on full-scale noise with the instant-release default
+    # the exact gain is per-sample spiky and a staircase deviates by
+    # design — see the AgcGroup contract note in effects/agc.py)
+    mdata = _music_pcm(48000)
+    am = render(
+        AutomaticGainControl(SamplesBuffer(2, 48000, mdata), AgcSettings(),
+                             mode="exact"), block_frames=4096)
+    cm = render(
+        AutomaticGainControl(SamplesBuffer(2, 48000, mdata), AgcSettings(),
+                             mode="pallas", group=8), block_frames=4096)
+    ok &= row("AGC group-8 vs exact (music)", interleave(cm),
+              interleave(am), 1e-2,
+              "AgcGroup relaxed-smoother contract (documented)")
     return ok
 
 
