@@ -74,7 +74,10 @@ def _run_scan(node, state, T, n_blocks, repeat, reps=4):
 def main():
     n_streams = int(os.environ.get("BENCH_STREAMS", "512"))
     scan_mode = os.environ.get("BENCH_SCAN_MODE", "fused")
-    T = int(os.environ.get("BENCH_BLOCK", "4096"))
+    # 4800 (15 grid steps at m=2) measured ~2 ns/frame cheaper than the
+    # round-2 default 4160 for the unrolled-serial kernel (per-block
+    # fixed cost amortizes over more steps); see BENCHMARKS.md round-3
+    T = int(os.environ.get("BENCH_BLOCK", "4800"))
     m = int(os.environ.get("BENCH_M", "2"))
     # m=3 exceeds the 16 MB scoped-VMEM limit at dma_depth 4 (by 268 KB
     # at int2; int3/m3 doesn't fit at all) — measured, BENCHMARKS.md.
@@ -105,7 +108,8 @@ def main():
         n_streams, seconds=seconds, scan_mode=scan_mode, source_pcm=pcm,
         with_agc=os.environ.get("BENCH_AGC", "0") == "1",
         max_block=max(T, 8192),
-        lookahead=int(os.environ.get("BENCH_LOOKAHEAD", "4")),
+        lookahead=(lambda v: v if v == "auto" else int(v))(
+            os.environ.get("BENCH_LOOKAHEAD", "auto")),
         precision=os.environ.get("BENCH_PRECISION", "auto"),
         firfold=os.environ.get("BENCH_FIRFOLD", "auto"),
         agc_ring=os.environ.get("BENCH_AGC_RING", "bf16"),

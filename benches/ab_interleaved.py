@@ -104,6 +104,43 @@ def main():
         ("la4-int2m3g16", dict(firfold=False, lookahead=4,
                                precision="int2", m=3, _T=4800,
                                dma_depth=3, agc_group=16)),
+        # negative lookahead = STATICALLY UNROLLED serial loop (every
+        # x_scr/y_scr row access a static VMEM address)
+        ("u4", dict(firfold=False, lookahead=-4)),
+        ("u8", dict(firfold=False, lookahead=-8)),
+        ("u4-int2m3", dict(firfold=False, lookahead=-4, precision="int2",
+                           m=3, _T=4800, dma_depth=3)),
+        ("u8-int2m3", dict(firfold=False, lookahead=-8, precision="int2",
+                           m=3, _T=4800, dma_depth=3)),
+        ("u12-int2m3", dict(firfold=False, lookahead=-12,
+                            precision="int2", m=3, _T=4800, dma_depth=3)),
+        ("u16-int2m3", dict(firfold=False, lookahead=-16,
+                            precision="int2", m=3, _T=4800, dma_depth=3)),
+        ("u8-int2", dict(firfold=False, lookahead=-8, precision="int2",
+                         _T=4800)),
+        ("u4-T48", dict(firfold=False, lookahead=-4, _T=4800)),
+        ("u8-T48", dict(firfold=False, lookahead=-8, _T=4800)),
+        ("u4-g16", dict(firfold=False, lookahead=-4, agc_group=16)),
+        ("u4-int2m3g16", dict(firfold=False, lookahead=-4,
+                              precision="int2", m=3, _T=4800,
+                              dma_depth=3, agc_group=16)),
+        # int3/m2 default-config sweep at T=4800+: wider unrolls, DMA
+        # depth, larger blocks (more grid steps amortize fixed cost)
+        ("u16-T48", dict(firfold=False, lookahead=-16, _T=4800)),
+        ("u32-T48", dict(firfold=False, lookahead=-32, _T=4800)),
+        ("u8-T48d3", dict(firfold=False, lookahead=-8, _T=4800,
+                          dma_depth=3)),
+        ("u8-T48d5", dict(firfold=False, lookahead=-8, _T=4800,
+                          dma_depth=5)),
+        ("u8-T64", dict(firfold=False, lookahead=-8, _T=6400)),
+        ("u8-T80", dict(firfold=False, lookahead=-8, _T=8000)),
+        # speed-record config at larger blocks (mto=480: T multiple)
+        ("u4-int2m3T72", dict(firfold=False, lookahead=-4,
+                              precision="int2", m=3, _T=7200,
+                              dma_depth=3)),
+        ("u4-int2m3T96", dict(firfold=False, lookahead=-4,
+                              precision="int2", m=3, _T=9600,
+                              dma_depth=3, _MB=9600)),
     ]
     only = os.environ.get("AB_ONLY")
     variants = [(n, k) for n, k in catalog
@@ -113,6 +150,9 @@ def main():
     for name, kw in variants:
         unwrap = kw.pop("_unwrap", False)
         T_v = kw.pop("_T", T)
+        mb = kw.pop("_MB", None)
+        if mb is not None:
+            kw["max_block"] = mb
         node, state = make_flagship(
             n_streams, seconds=seconds, scan_mode="fused",
             source_pcm=pcm, with_agc=with_agc, **kw,

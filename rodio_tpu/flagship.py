@@ -35,6 +35,23 @@ from .refimpl.effects import blt_coefficients
 from .sources.generators import SamplesBuffer
 
 
+def _resolve_lookahead(lookahead, mto: int) -> int:
+    """``lookahead="auto"``: the STATICALLY UNROLLED look-ahead-8 serial
+    loop on TPU (negative = unrolled, ops/fused.py; measured 12-33%
+    faster blocks than the fori_loop form on v5e — static VMEM row
+    addresses remove the dynamic-offset issue overhead on an issue-bound
+    loop), the rolled look-ahead-4 elsewhere (the unrolled kernel's
+    ~10x larger program is slow to build under the CPU interpreter).
+    The width is reduced to the largest power-of-two divisor of m*to."""
+    if lookahead != "auto":
+        return int(lookahead)
+    on_tpu = jax.default_backend() == "tpu"
+    la = 8 if on_tpu else 4
+    while la > 1 and mto % la:
+        la //= 2
+    return -la if on_tpu else la
+
+
 class FusedWidePipeline(Node):
     """Resample + biquad + gain + stream-mix as ONE Pallas mega-kernel.
 
@@ -57,7 +74,7 @@ class FusedWidePipeline(Node):
     def __init__(self, input_node: Node, to_rate: int, gains,
                  n_streams: int, kind: str = "low_pass",
                  freq: float = 2000.0, q: float = 0.5, *, m: int = 2,
-                 precision: str = "auto", lookahead: int = 4,
+                 precision: str = "auto", lookahead="auto",
                  subblk: int = 0, firfold="auto",
                  with_agc: bool = False, agc_settings=None,
                  agc_ring: str = "bf16", agc_group: int = 0,
@@ -80,7 +97,6 @@ class FusedWidePipeline(Node):
         self.to = to_rate // g
         assert self.from_ != self.to, "identity ratio: use the plain chain"
         self.m = m
-        self.lookahead = lookahead
         self.dma_depth = int(dma_depth)
         if precision == "auto":
             # int3: exact bf16 dots (integer-scaled weights + exact
@@ -91,6 +107,7 @@ class FusedWidePipeline(Node):
         if precision in ("int3", "int2") and self.to > 320:
             self.m = 1  # VMEM budget for large-`to` grids
         self.precision = precision
+        self.lookahead = _resolve_lookahead(lookahead, self.m * self.to)
         #: boundary-frame folding (padding-row g1 term); int-piece only
         self.bfold = precision in ("int3", "int2")
         if firfold == "auto":
@@ -593,7 +610,7 @@ class FusedFarmPipeline(Node):
 
     def __init__(self, feed: ChunkRingFeed, to_rate: int, n_streams: int,
                  kind: str = "low_pass", freq: float = 2000.0,
-                 q: float = 0.5, *, m: int = 2, lookahead: int = 4,
+                 q: float = 0.5, *, m: int = 2, lookahead="auto",
                  firfold: bool = False):
         import math
 
@@ -611,7 +628,7 @@ class FusedFarmPipeline(Node):
         assert self.from_ == feed.fr
         assert self.from_ != self.to and self.to >= 2
         self.m = m
-        self.lookahead = lookahead
+        self.lookahead = _resolve_lookahead(lookahead, m * self.to)
         self.precision = "int3" if feed.npc == 3 else "int2"
         from .conversions.resample import Resample as _R
 
@@ -722,7 +739,7 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
                   channels: int = 2, seed: int = 0,
                   scan_mode: str = "exact", with_agc: bool = False,
                   source_pcm: Optional[np.ndarray] = None,
-                  max_block: int = 8192, lookahead: int = 4,
+                  max_block: int = 8192, lookahead="auto",
                   precision: str = "auto", firfold="auto",
                   agc_ring: str = "bf16", agc_group: int = 0, m: int = 2,
                   dma_depth: int = 4, inkernel_limit: bool = False):

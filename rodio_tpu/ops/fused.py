@@ -53,6 +53,14 @@ time, residual < 2^-18 relative per lane — fine for incoherent program
 material, can reach ~4e-6 absolute only if all S streams carry identical
 in-phase full-scale content).
 
+Serial-loop form: ``lookahead`` > 1 selects the scattered look-ahead
+recurrence; NEGATIVE ``lookahead`` runs the SAME |lookahead|-deep
+recurrence STATICALLY UNROLLED (a trace-time Python loop instead of
+``fori_loop``), so every x_scr/y_scr row access is a static VMEM
+address — measured 12-33% faster blocks on v5e (BENCHMARKS.md round-3);
+bit-identical on hardware, ~1 ulp under the CPU interpreter (XLA FMA
+contraction may differ between the rolled and unrolled forms).
+
 An alternative blocked parallel-in-time biquad (``subblk`` > 0: G
 interleaved zero-history sub-block chains + rank-2(G-1) boundary
 correction riding the mix matmul) is implemented and tested but ~15%
@@ -193,6 +201,15 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
     """
     t_idx = pl.program_id(0)
     n_t = pl.num_programs(0)
+
+    # lookahead < 0 selects the STATICALLY UNROLLED serial loop: the
+    # same look-ahead-|LA| recurrence, but as a Python loop over the
+    # mto/|LA| iterations so every x_scr/y_scr row access is a static
+    # VMEM address (the fori_loop form computes each row offset from
+    # the traced induction variable — dynamic-address issue overhead on
+    # an issue-bound loop).
+    unroll = lookahead < 0
+    lookahead = abs(lookahead)
 
     b0 = c_ref[0]
     b1 = c_ref[1]
@@ -397,9 +414,15 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 return (ys[-1], py1)
             return (ys[-1], ys[-2])
 
-        y1, y2 = jax.lax.fori_loop(
-            0, mto // LA, step_ff, (carry[2], carry[3])
-        )
+        if unroll:
+            acc = (carry[2], carry[3])
+            for i in range(mto // LA):
+                acc = step_ff(i, acc)
+            y1, y2 = acc
+        else:
+            y1, y2 = jax.lax.fori_loop(
+                0, mto // LA, step_ff, (carry[2], carry[3])
+            )
         carry[2] = y1
         carry[3] = y2
     elif subblk:
@@ -498,7 +521,14 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 ys.append(y)
             return (xs[-1], xs[-2], ys[-1], ys[-2])
 
-        x1, x2, y1, y2 = jax.lax.fori_loop(0, m * to // LA, step_la, init)
+        if unroll:
+            acc = init
+            for i in range(m * to // LA):
+                acc = step_la(i, acc)
+            x1, x2, y1, y2 = acc
+        else:
+            x1, x2, y1, y2 = jax.lax.fori_loop(
+                0, m * to // LA, step_la, init)
     else:
         init = (carry[0], carry[1], carry[2], carry[3])
 
@@ -509,7 +539,13 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
             y_scr[t] = y
             return (xcur, x1, y, y1)
 
-        x1, x2, y1, y2 = jax.lax.fori_loop(0, m * to, step, init)
+        if unroll:
+            acc = init
+            for t in range(m * to):
+                acc = step(t, acc)
+            x1, x2, y1, y2 = acc
+        else:
+            x1, x2, y1, y2 = jax.lax.fori_loop(0, m * to, step, init)
 
     if not firfold:
         # firfold already stored its carries (x tail in the resample
@@ -588,7 +624,11 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 x_scr[g_i] = jnp.concatenate([d, ym], axis=0)
                 return 0
 
-            jax.lax.fori_loop(0, G, group_sums, 0)
+            if unroll:
+                for _g in range(G):
+                    group_sums(_g, 0)
+            else:
+                jax.lax.fori_loop(0, G, group_sums, 0)
 
             # serial pass 1: running-sum + peak chains (1 add + 2 ops
             # per GROUP instead of per sub-step)
@@ -601,9 +641,15 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 x_scr[g_i] = jnp.concatenate([rs, pk], axis=0)
                 return (rs, pk)
 
-            rs, pk = jax.lax.fori_loop(
-                0, G, chain_loop, (agc_carry[0:4], agc_carry[4:8])
-            )
+            if unroll:
+                acc_c = (agc_carry[0:4], agc_carry[4:8])
+                for _g in range(G):
+                    acc_c = chain_loop(_g, acc_c)
+                rs, pk = acc_c
+            else:
+                rs, pk = jax.lax.fori_loop(
+                    0, G, chain_loop, (agc_carry[0:4], agc_carry[4:8])
+                )
 
             # pass 2 (vector): desired gain for every group at once
             v = x_scr[pl.ds(0, G)]
@@ -626,7 +672,12 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 x_scr[g_i] = jnp.concatenate([gv, gv], axis=0)
                 return gv
 
-            g = jax.lax.fori_loop(0, G, gain_loop, agc_carry[8:12])
+            if unroll:
+                g = agc_carry[8:12]
+                for _g in range(G):
+                    g = gain_loop(_g, g)
+            else:
+                g = jax.lax.fori_loop(0, G, gain_loop, agc_carry[8:12])
 
             # pass 4 (vector): apply the group-staircase gains
             def apply_loop(g_i, _):
@@ -636,7 +687,11 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 )
                 return 0
 
-            jax.lax.fori_loop(0, G, apply_loop, 0)
+            if unroll:
+                for _g in range(G):
+                    apply_loop(_g, 0)
+            else:
+                jax.lax.fori_loop(0, G, apply_loop, 0)
             agc_carry[0:4] = rs
             agc_carry[4:8] = pk
             agc_carry[8:12] = g
@@ -708,10 +763,16 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                       )
               return (rs, pk, g)
 
-          rs, pk, g = jax.lax.fori_loop(
-              0, mto // AW, agc_loop,
-              (agc_carry[0:4], agc_carry[4:8], agc_carry[8:12]),
-          )
+          if unroll:
+              acc_a = (agc_carry[0:4], agc_carry[4:8], agc_carry[8:12])
+              for _i in range(mto // AW):
+                  acc_a = agc_loop(_i, acc_a)
+              rs, pk, g = acc_a
+          else:
+              rs, pk, g = jax.lax.fori_loop(
+                  0, mto // AW, agc_loop,
+                  (agc_carry[0:4], agc_carry[4:8], agc_carry[8:12]),
+              )
           agc_carry[0:4] = rs
           agc_carry[4:8] = pk
           agc_carry[8:12] = g
@@ -992,7 +1053,7 @@ def build_fused_operator(g0, g1, coeffs, *, fr: int, to: int, m: int,
         # (leading u coefficient is 1 — one add, no multiply), so each
         # group of LA outputs costs ~(k+2) FMAs per output instead of the
         # (k+4)-term rows of the full-biquad unrolling.
-        LA = max(lookahead, 1)
+        LA = max(abs(lookahead), 1)
         W = LA + 2  # basis: u[t+LA-1], ..., u[t], y[t-1], y[t-2]
         zero = jnp.zeros((), dt)
         one = jnp.ones((), dt)
@@ -1027,7 +1088,7 @@ def build_fused_operator(g0, g1, coeffs, *, fr: int, to: int, m: int,
         # with basis = (x[t+LA-2], ..., x[t], x[t-1], x[t-2], y[t-1],
         # y[t-2]), derived by unrolling the recurrence into itself. Row k
         # has k+4 meaningful coefficients (x[t+k-1..t], x1, x2, y1, y2).
-        LA = max(lookahead, 2)
+        LA = max(abs(lookahead), 2)
         W = LA + 3  # basis width
         zero = jnp.zeros((), dt)
         one = jnp.ones((), dt)
@@ -1165,7 +1226,7 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
         assert int3 and bfold, "firfold requires the int-piece bfold layout"
         assert to >= 2, "firfold needs >= 2 output rows per chunk"
         assert not subblk, "firfold and subblk are alternative IIR plans"
-        assert (m * to) % max(lookahead, 1) == 0
+        assert (m * to) % max(abs(lookahead), 1) == 0
     assert fr_p >= fr and fr_p % 16 == 0
     K = xn_t.shape[0]
     assert xn_t.shape == (K, LANES) and K % m == 0

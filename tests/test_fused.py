@@ -507,3 +507,37 @@ def test_fused_agc_group_live_params(rng):
     assert int(v2) == 640
     if before is not None and after is not None:
         assert after == before, "live AGC knobs must not re-trace"
+
+
+@pytest.mark.parametrize("with_agc,agc_group",
+                         [(False, 0), (True, 0), (True, 4)])
+def test_fused_unrolled_serial_matches_fori(rng, with_agc, agc_group):
+    """lookahead < 0 selects the STATICALLY UNROLLED serial loops (the
+    look-ahead biquad AND the AGC chains) — identical arithmetic with
+    static VMEM row addresses instead of fori_loop dynamic offsets
+    (measured 12-33% faster blocks on v5e, BENCHMARKS.md round-3).
+    Same op order, so outputs agree to the compiler's FMA-contraction
+    freedom (~1 ulp; under the CPU interpreter XLA may contract a*b+c
+    differently between the rolled and unrolled forms — same class as
+    test_fused_block_size_invariance).
+
+    The no-AGC case runs the flagship 44.1k->48k ratio (mto=160 at m=1;
+    40 unrolled look-ahead-4 groups). The AGC cases run 24k->48k
+    (mto=4 at m=2) because the unrolled per-sample AGC smoother at
+    mto=160 is a ~600 s XLA:CPU compile under the interpreter — the
+    pow2 ratio also re-exercises the lag%mto==0 ring path unrolled."""
+    in_rate = 24000 if with_agc else 44100
+    outs = {}
+    for la in (4, -4):
+        node, s = make_flagship(4, seconds=0.25, seed=5, scan_mode="fused",
+                                lookahead=la, with_agc=with_agc,
+                                agc_group=agc_group, in_rate=in_rate,
+                                m=(2 if with_agc else 1), max_block=480)
+        em = jax.jit(lambda s: node.emit(s, 160))
+        blocks = []
+        for _ in range(3):
+            s, o, v = em(s)
+            assert int(v) == 160
+            blocks.append(np.asarray(o))
+        outs[la] = np.concatenate(blocks, axis=1)
+    np.testing.assert_allclose(outs[4], outs[-4], atol=5e-7)
