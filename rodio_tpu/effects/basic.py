@@ -138,10 +138,13 @@ class TakeDuration(_Wrap):
     and the final partial frame is channel-masked.
 
     With ``fadeout=True`` the take applies the crossfade gain
-    remaining/total. The reference truncates both to whole milliseconds
-    (src/source/take.rs:36-38); the block engine uses the continuous ratio
-    (higher fidelity; deviation from the reference bounded by the 1 ms
-    quantization, i.e. < 1e-3 relative near ms boundaries only).
+    remaining/total, truncating both to whole milliseconds exactly as the
+    reference does (src/source/take.rs:36-38, as_millis): the per-sample
+    gain is the staircase floor(remaining_ns/1e6)/floor(total_ns/1e6) in
+    the reference's op order (sample * remaining, then / total). The
+    remaining-ns position is carried across blocks as a (whole-ms, ns-
+    within-ms) i32 pair so the traced arithmetic never exceeds i32 at any
+    stream position (x64 stays off).
     """
 
     def __init__(self, input_node: Node, duration: float, *, fadeout: bool = False):
@@ -165,23 +168,42 @@ class TakeDuration(_Wrap):
         return min(inner, self._valid_frames)
 
     def init_state(self) -> State:
-        return {"in": self.input.init_state(),
-                "frame": jnp.zeros((), dtype=jnp.int32)}
+        st = {"in": self.input.init_state(),
+              "frame": jnp.zeros((), dtype=jnp.int32)}
+        if self.fadeout and self.n_samples > 0:
+            # remaining_ns carried as whole-ms + ns-within-ms (both i32)
+            st["fade_ms"] = jnp.int32(self.duration_ns // 1_000_000)
+            st["fade_r"] = jnp.int32(self.duration_ns % 1_000_000)
+        return st
 
     def emit(self, state: State, n: int):
         dt = float_dtype()
         s, block, v_in = self.input.emit(state["in"], n)
         f = state["frame"] + jnp.arange(n, dtype=jnp.int32)
+        new_state = {"in": s, "frame": state["frame"] + n}
 
         if self.fadeout and self.n_samples > 0:
             c = self.spec.channels
-            # gain per interleaved sample s_idx = f*c + ch:
-            # (duration - s_idx*dps) / duration, continuous
-            step = np.float64(self.dps_ns) / np.float64(self.duration_ns)
-            ch_idx = jnp.arange(c, dtype=jnp.int32)[:, None]
-            s_idx = (f[None, :] * c + ch_idx).astype(dt)
-            gain = 1.0 - s_idx * dt(float(step))
-            block = block * jnp.maximum(gain, 0.0)
+            d = self.dps_ns
+            M = 1_000_000
+            # i32-safe: per-block interleaved decrement must fit
+            assert n * c * d < 2**31, (
+                "fadeout block too large for i32 ns arithmetic")
+            # remaining_ms at interleaved sample j (block-local) =
+            # floor((fade_ms*1e6 + fade_r - j*dps)/1e6)
+            # = fade_ms + floor((fade_r - j*dps)/1e6)   [exact, i32]
+            j = (jnp.arange(n, dtype=jnp.int32)[None, :] * c
+                 + jnp.arange(c, dtype=jnp.int32)[:, None])
+            ms = state["fade_ms"] + jnp.floor_divide(
+                state["fade_r"] - j * jnp.int32(d), jnp.int32(M))
+            ms = jnp.maximum(ms, 0).astype(dt)
+            # reference op order: (sample * remaining) / total, both in
+            # whole milliseconds (src/source/take.rs:36-38)
+            block = (block * ms) / dt(float(self.duration_ns // M))
+            raw = state["fade_r"] - jnp.int32(n * c * d)
+            q = jnp.floor_divide(raw, jnp.int32(M))
+            new_state["fade_ms"] = state["fade_ms"] + q
+            new_state["fade_r"] = raw - q * jnp.int32(M)
 
         valid = jnp.minimum(v_in, clip_valid(self._valid_frames - state["frame"], n))
         if self._tail_channels:
@@ -191,7 +213,7 @@ class TakeDuration(_Wrap):
             pad_mask = (f[None, :] == last) & (ch_idx >= self._tail_channels)
             block = jnp.where(pad_mask, 0.0, block)
         block = mask_block(block, valid)
-        return {"in": s, "frame": state["frame"] + n}, block, valid
+        return new_state, block, valid
 
 
 class SkipDuration(_Wrap):

@@ -262,6 +262,39 @@ def test_take_parity(rng, channels):
     np.testing.assert_allclose(got, expected, atol=1e-7)
 
 
+@pytest.mark.parametrize("channels", [1, 2])
+def test_take_fadeout_ms_truncation_parity(rng, channels):
+    """fadeout gain = floor(remaining_ns/1e6)/floor(total_ns/1e6) — the
+    reference's whole-millisecond as_millis truncation
+    (src/source/take.rs:36-38), reproduced exactly by the block engine's
+    (ms, ns-within-ms) i32 carry. Odd block size so blocks straddle ms
+    boundaries (1 ms = 44.1 frames here)."""
+    ref_src, blk_src, _ = rand_buffer(rng, channels, 12000, rate=44100)
+    dur_ns = 234_567_000
+    ref = ri.TakeDuration(ref_src, dur_ns)
+    ref.set_filter_fadeout()
+    expected = ref_collect(ref)
+    blk = TakeDuration(blk_src, dur_ns / 1e9, fadeout=True)
+    got = interleave(render(blk, block_frames=193))
+    assert len(got) == len(expected)
+    np.testing.assert_allclose(got, expected, atol=1e-7)
+
+
+def test_take_fadeout_long_position_i32_carry(rng):
+    """Positions past 2.1 s would overflow naive i32 nanosecond math
+    (frame*c*dps > 2^31); the carried (fade_ms, fade_r) pair keeps every
+    traced value inside i32 at any position."""
+    ref_src, blk_src, _ = rand_buffer(rng, 2, 25000, rate=8000)
+    dur_ns = 3_000_000_000  # 3 s > 2^31 ns
+    ref = ri.TakeDuration(ref_src, dur_ns)
+    ref.set_filter_fadeout()
+    expected = ref_collect(ref, limit=200_000)
+    blk = TakeDuration(blk_src, dur_ns / 1e9, fadeout=True)
+    got = interleave(render(blk, block_frames=1024))
+    assert len(got) == len(expected)
+    np.testing.assert_allclose(got, expected, atol=1e-7)
+
+
 def test_take_mid_frame_padding():
     # duration ending mid-frame pads with silence (src/source/take.rs:115-123)
     ref_src = ri.SamplesBuffer(2, 44100, [1.0] * 20)

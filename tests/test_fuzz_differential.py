@@ -78,7 +78,7 @@ def _mk_dist(p, node):
 
 
 def _mk_take(p, node):
-    return TakeDuration(node, p["sec"], fadeout=False)
+    return TakeDuration(node, p["sec"], fadeout=p["fadeout"])
 
 
 def _rf_amplify(p, src):
@@ -105,7 +105,10 @@ def _rf_dist(p, src):
 
 
 def _rf_take(p, src):
-    return ri.TakeDuration(src, int(p["sec"] * 1e9))
+    out = ri.TakeDuration(src, int(p["sec"] * 1e9))
+    if p["fadeout"]:
+        out.set_filter_fadeout()
+    return out
 
 
 def _sample_params(rng, name, mode):
@@ -127,8 +130,10 @@ def _sample_params(rng, name, mode):
         return {"drive": float(np.float32(rng.uniform(1.0, 4.0))),
                 "thresh": float(np.float32(rng.uniform(0.4, 0.9)))}
     if name == "take":
-        # frame-aligned duration (whole-ns exact): k * 1 ms
-        return {"sec": int(rng.integers(60, 140)) * 0.001}
+        # frame-aligned duration (whole-ns exact): k * 1 ms; fadeout's
+        # ms-truncated gain staircase is exact in the block engine too
+        return {"sec": int(rng.integers(60, 140)) * 0.001,
+                "fadeout": bool(rng.integers(0, 2))}
     raise KeyError(name)
 
 
