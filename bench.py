@@ -78,13 +78,19 @@ def main():
     # round-2 default 4160 for the unrolled-serial kernel (per-block
     # fixed cost amortizes over more steps); see BENCHMARKS.md round-3
     T = int(os.environ.get("BENCH_BLOCK", "4800"))
-    m = int(os.environ.get("BENCH_M", "2"))
-    # m=3 exceeds the 16 MB scoped-VMEM limit at dma_depth 4 (by 268 KB
-    # at int2; int3/m3 doesn't fit at all) — measured, BENCHMARKS.md.
-    dma_depth = int(os.environ.get("BENCH_DMA_DEPTH",
-                                   "3" if m >= 3 else "4"))
+    # m="auto": 3 chunks/grid-step when the content probe selects the
+    # int2 piece layout (lossless for 16-bit-sourced PCM like music.wav;
+    # m=3 only fits scoped VMEM there), else 2. dma_depth follows
+    # (3 at m=3 — depth 4 misses the 16 MB limit by 268 KB; else 4).
+    m_env = os.environ.get("BENCH_M", "auto")
+    m = m_env if m_env == "auto" else int(m_env)
+    dd_env = os.environ.get("BENCH_DMA_DEPTH", "auto")
+    dma_depth = dd_env if dd_env == "auto" else int(dd_env)
+    if dma_depth == "auto" and m != "auto":
+        dma_depth = 3 if m >= 3 else 4
     if scan_mode == "fused":
-        mto = m * 160
+        # align T to every candidate m*to (lcm(320, 480) = 960 for auto)
+        mto = 960 if m == "auto" else m * 160
         T = max(mto, -(-T // mto) * mto)  # fused blocks align to m*to
     n_blocks = int(os.environ.get("BENCH_BLOCKS", "60"))
     r1 = int(os.environ.get("BENCH_R1", "1"))

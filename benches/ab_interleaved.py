@@ -141,6 +141,20 @@ def main():
         ("u4-int2m3T96", dict(firfold=False, lookahead=-4,
                               precision="int2", m=3, _T=9600,
                               dma_depth=3, _MB=9600)),
+        # gain_post: per-lane gains as an in-kernel vector multiply on
+        # the resample output (raw chunks -> int2 lossless for the
+        # 16-bit music.wav content) vs the init-time PCM fold
+        ("u4-int2m3-gp", dict(firfold=False, lookahead=-4,
+                              precision="int2", gain_post=True, m=3,
+                              _T=4800, dma_depth=3)),
+        ("u4-int2m3-fold", dict(firfold=False, lookahead=-4,
+                                precision="int2", gain_post=False, m=3,
+                                _T=4800, dma_depth=3)),
+        ("u8-int2-gp", dict(firfold=False, lookahead=-8,
+                            precision="int2", gain_post=True, _T=4800)),
+        # the full new default resolution (auto precision probe + auto
+        # m/dma/lookahead): what `python bench.py` now runs
+        ("autodefault", dict(_T=4800)),
     ]
     only = os.environ.get("AB_ONLY")
     variants = [(n, k) for n, k in catalog

@@ -52,6 +52,26 @@ def _resolve_lookahead(lookahead, mto: int) -> int:
     return -la if on_tpu else la
 
 
+def _two_piece_exact(data) -> bool:
+    """True iff every sample of ``data`` splits EXACTLY into two bf16
+    pieces (p1 = bf16(x); p2 = bf16(x - p1) with zero remainder).
+
+    Holds for all content whose significand fits 16 bits at one exponent
+    split — in particular every 16-bit-PCM-sourced f32 (k/2^15: p1 takes
+    the top <= 8 significand bits after rounding, the residual's <= 8
+    remaining bits are exactly representable). For such content the
+    int-piece kernel's third piece is identically zero, so the "int2"
+    layout is LOSSLESS — same output, 2/3 the chunk DMA traffic.
+
+    One device pass at pipeline-build time (never per block)."""
+    if data is None:
+        return False
+    p1 = data.astype(jnp.bfloat16).astype(data.dtype)
+    r = data - p1
+    p2 = r.astype(jnp.bfloat16).astype(data.dtype)
+    return bool(jnp.all(r == p2))
+
+
 class FusedWidePipeline(Node):
     """Resample + biquad + gain + stream-mix as ONE Pallas mega-kernel.
 
@@ -75,7 +95,7 @@ class FusedWidePipeline(Node):
                  n_streams: int, kind: str = "low_pass",
                  freq: float = 2000.0, q: float = 0.5, *, m: int = 2,
                  precision: str = "auto", lookahead="auto",
-                 subblk: int = 0, firfold="auto",
+                 subblk: int = 0, firfold="auto", gain_post="auto",
                  with_agc: bool = False, agc_settings=None,
                  agc_ring: str = "bf16", agc_group: int = 0,
                  dma_depth: int = 4, master_limit=None):
@@ -96,14 +116,61 @@ class FusedWidePipeline(Node):
         self.from_ = from_rate // g
         self.to = to_rate // g
         assert self.from_ != self.to, "identity ratio: use the plain chain"
-        self.m = m
-        self.dma_depth = int(dma_depth)
+        self.dma_depth = dma_depth
+        #: gain_post: per-lane gains applied in-kernel on the resample
+        #: output (one vector multiply) instead of folded into the PCM
+        #: at init. The HBM chunks then hold RAW samples — so when the
+        #: content splits exactly into two bf16 pieces (true for ALL
+        #: 16-bit-sourced PCM: p1 takes the top 8 significand bits, the
+        #: residual's remaining <= 8 bits fit p2 exactly), the third
+        #: int-piece is identically zero and "int2" is LOSSLESS, at 2/3
+        #: the chunk DMA traffic of int3.
+        self.gain_post = False
+        gp_ok = (not with_agc) and firfold is not True
         if precision == "auto":
             # int3: exact bf16 dots (integer-scaled weights + exact
             # 3-way bf16 split of the PCM); weights <= 256 ride one
             # dot, bigger ratios split the operator as 4*hi + lo
-            # (ops/fused.py wsplit) up to to = 1024
+            # (ops/fused.py wsplit) up to to = 1024.
+            # Content probe: when every input sample is two-bf16-piece
+            # exact, drop to int2 (provably identical output — the
+            # dropped piece is all zeros). The AGC layout never folds
+            # gains into the PCM, so it qualifies directly; the plain
+            # path switches the fold to the in-kernel gain_post multiply.
             precision = "int3" if self.to <= 1024 else "highest"
+            if (precision == "int3" and firfold is not True
+                    and (with_agc or gain_post is not False)
+                    and _two_piece_exact(
+                        getattr(input_node, "_data", None))):
+                precision = "int2"
+                self.gain_post = not with_agc
+        elif (precision == "int2" and gp_ok and gain_post == "auto"):
+            # explicit int2 keeps the round-2 folded layout unless the
+            # content is piece-exact (then raw chunks cost nothing and
+            # remove the fold's residual from the parity budget)
+            self.gain_post = _two_piece_exact(
+                getattr(input_node, "_data", None))
+        if gain_post is True or gain_post is False:
+            # explicit override (bench A/B isolation); valid for any
+            # content — only the int2 LOSSLESSNESS claim needs the probe
+            self.gain_post = bool(gain_post) and gp_ok
+        if m == "auto":
+            # m=3 chunks/grid-step fits the 16 MB scoped-VMEM limit only
+            # in the int2 layout (at dma_depth 3); measured fastest
+            # there, no help elsewhere (BENCHMARKS.md round-3)
+            m = 3 if (precision == "int2" and self.to <= 320
+                      and not with_agc) else 2
+            if dma_depth == "auto":
+                self.dma_depth = 3 if m == 3 else 4
+        if self.dma_depth == "auto":
+            self.dma_depth = 3 if m >= 3 else 4
+        self.dma_depth = int(self.dma_depth)
+        self.m = int(m)
+        if (lookahead == "auto" and self.m >= 3
+                and jax.default_backend() == "tpu"):
+            # u8 regresses at m=3 (wider rows + 3-chunk VMEM pressure);
+            # unrolled-4 measured best there (BENCHMARKS.md round-3)
+            lookahead = -4
         if precision in ("int3", "int2") and self.to > 320:
             self.m = 1  # VMEM budget for large-`to` grids
         self.precision = precision
@@ -259,6 +326,11 @@ class FusedWidePipeline(Node):
         ).T[self._s0 :]                                 # [F - s0, LANES]
         if self._perm is not None:
             data_t = data_t[:, self._perm]              # channel-major lanes
+        elif self.gain_post:
+            # chunks stay RAW: the kernel applies the per-lane gains on
+            # the resample output (see ops/fused.py gain_post), keeping
+            # the two-bf16-piece split of the content exact
+            pass
         else:
             # fold the per-stream gains into the PCM (binary mix matrix)
             g = jnp.pad(
@@ -316,6 +388,14 @@ class FusedWidePipeline(Node):
             "coeffs": jnp.asarray(self.coeffs, dtype=dt),
             "op": self._build_op(self.coeffs),
         }
+        if self.gain_post:
+            gp = jnp.pad(
+                jnp.asarray(self._gain_fold),
+                (0, self._lanes - self._wide), constant_values=1.0,
+            )
+            # per-lane gain plane, lane l at (l//128, l%128) — the same
+            # LANES -> (8, 128) split the kernel's time rows use
+            state["gv"] = gp.reshape(8, 128).astype(dt)
         if self._limiter is not None:
             state["lim"] = jnp.zeros((8, 2), dtype=dt)
         if self.with_agc:
@@ -471,6 +551,7 @@ class FusedWidePipeline(Node):
                 op=state["op"],
                 limiter=self._limiter,
                 lim_state=state.get("lim"),
+                gains=state.get("gv"),
                 dma_depth=self.dma_depth,
                 interpret=interpret,
             )
@@ -521,7 +602,8 @@ class ChunkRingFeed:
     LIVE = True
 
     def __init__(self, wide: int, in_rate: int, fr: int, Kp: int,
-                 ring_chunks: int, precision: str, per_lane_gain):
+                 ring_chunks: int, precision: str, per_lane_gain,
+                 gain_post: bool = False):
         from .ops.fused import LANES
 
         assert wide <= LANES
@@ -534,6 +616,12 @@ class ChunkRingFeed:
         assert precision in ("int3", "int2")
         self.npc = 3 if precision == "int3" else 2
         self._lanes = LANES
+        #: gain_post: keep the ring RAW (gains ride the kernel's scale
+        #: pass instead of a push-time fold) — with an i16 wire the raw
+        #: samples are k/2^15, whose two-bf16-piece split is exact, so
+        #: precision="int2" is LOSSLESS at 2/3 the ring traffic (and the
+        #: push jit drops one full-width multiply + one piece subtract)
+        self.gain_post = bool(gain_post)
         g = np.asarray(per_lane_gain, np.float32)
         assert g.shape == (wide,)
         self._gain = jnp.asarray(
@@ -568,7 +656,9 @@ class ChunkRingFeed:
         dt = float_dtype()
         bt = jnp.pad(
             block.astype(dt), ((0, L - block.shape[0]), (0, 0))
-        ) * self._gain[:, None]
+        )
+        if not self.gain_post:
+            bt = bt * self._gain[:, None]
         span = bt.T                                  # [T, LANES]
         if not prime:
             span = jnp.concatenate([state["carry"], span], axis=0)
@@ -717,13 +807,16 @@ class FusedFarmPipeline(Node):
         )
         xn_t = jnp.zeros((K, self._lanes), dtype=dt)  # bfold: unused
         interpret = _jax.default_backend() != "tpu"
+        gv = (self.input._gain.reshape(8, 128).astype(dt)
+              if self.input.gain_post else None)
         mix8, bq = fused_resample_biquad_mix(
             ins["chunks"], c0, xn_t, self._rs._G0, self._rs._g1,
             self._mixmat, tuple(state["coeffs"][i] for i in range(5)),
             state["bq"], fr=fr, to=to, m=m,
             precision=self.precision, lookahead=self.lookahead,
             binary_mix=True, bfold=True, firfold=self.firfold,
-            ring_chunks=Nc, op=state["op"], interpret=interpret,
+            ring_chunks=Nc, op=state["op"], gains=gv,
+            interpret=interpret,
         )
         out = mix8[: self.spec.channels, :]
         new_in = {**ins, "overflow": overflow}
@@ -741,8 +834,9 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
                   source_pcm: Optional[np.ndarray] = None,
                   max_block: int = 8192, lookahead="auto",
                   precision: str = "auto", firfold="auto",
-                  agc_ring: str = "bf16", agc_group: int = 0, m: int = 2,
-                  dma_depth: int = 4, inkernel_limit: bool = False):
+                  gain_post="auto",
+                  agc_ring: str = "bf16", agc_group: int = 0, m="auto",
+                  dma_depth="auto", inkernel_limit: bool = False):
     """Build (master_node, state) for the flagship pipeline.
 
     ``source_pcm``: optional [channels, frames] PCM at in_rate shared as the
@@ -778,7 +872,8 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
         fused = FusedWidePipeline(
             chain, out_rate, gains, n_streams, "low_pass", 2000.0, 0.5,
             with_agc=with_agc, lookahead=lookahead, precision=precision,
-            firfold=firfold, agc_ring=agc_ring, agc_group=agc_group, m=m,
+            firfold=firfold, gain_post=gain_post,
+            agc_ring=agc_ring, agc_group=agc_group, m=m,
             dma_depth=dma_depth,
             master_limit=LimitSettings() if inkernel_limit else None,
         )

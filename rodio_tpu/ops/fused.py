@@ -109,7 +109,7 @@ def _tree_sum(terms):
 
 
 def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
-                  mixt_ref, ab_ref, state_ref, lim_ref,
+                  mixt_ref, ab_ref, state_ref, lim_ref, gv_ref,
                   out_ref, out_state_ref, out_lim_ref,
                   carry, xraw, x_scr, y_scr, sems, corr_scr, limc,
                   *, m: int, to: int, precision, int3: bool,
@@ -117,7 +117,7 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                   binary_mix: bool = False, bfold: bool = False,
                   wsplit: bool = False, firfold: bool = False,
                   ring_chunks: int = 0, limiter: tuple = None,
-                  nslot: int = 3):
+                  gain_post: bool = False, nslot: int = 3):
     _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 mixt_ref, state_ref, out_ref, out_state_ref,
                 carry, xraw, x_scr, y_scr, sems,
@@ -126,6 +126,7 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 bfold=bfold, wsplit=wsplit, firfold=firfold,
                 ring_chunks=ring_chunks,
                 ab_ref=ab_ref, corr_scr=corr_scr, nslot=nslot,
+                gv_ref=gv_ref, gain_post=gain_post,
                 limiter=limiter, lim_ref=lim_ref,
                 out_lim_ref=out_lim_ref, limc=limc)
 
@@ -180,6 +181,7 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 ring_chunks: int = 0,
                 limiter: tuple = None, lim_ref=None, out_lim_ref=None,
                 limc=None,
+                gv_ref=None, gain_post: bool = False,
                 ab_ref=None, corr_scr=None,
                 agc=None, agcp_ref=None, k0_ref=None, agc_ref=None,
                 ring_ref=None, agc_group: int = 0,
@@ -373,14 +375,30 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
             if wsplit:
                 acc = 4.0 * acc[:to] + acc[to:]
             if bfold:
-                yk = acc * (1.0 / to)
+                # gain_post rides the existing 1/to scale: gv_ref holds
+                # gains/to (see the wrapper), so the per-lane stream
+                # gain costs ZERO extra passes on this (default) path.
+                # Keeping the HBM chunks raw means content that splits
+                # exactly into two bf16 pieces (all 16-bit-sourced PCM)
+                # rides the int2 layout with a provably-zero third
+                # piece. Equivalent by linearity of resample+biquad
+                # (amplify commutes, src/source/amplify.rs:10-22); f32
+                # rounding moves by ~1 ulp vs the init-time PCM fold.
+                if gain_post:
+                    yk = acc.reshape(to, 8, 128) * gv_ref[...]
+                else:
+                    yk = acc * (1.0 / to)
             else:
                 yk = acc * (1.0 / to) + g1col * xnk
+                if gain_post:
+                    yk = yk.reshape(to, 8, 128) * gv_ref[...]
         else:
             xk = xraw[slot, k]                         # [fr_p, LANES]
             yk = jnp.dot(g0t, xk, preferred_element_type=out_dt,
                          precision=precision)
             yk = yk + g1col * xnk                      # [to, LANES]
+            if gain_post:
+                yk = yk.reshape(to, 8, 128) * gv_ref[...]
         x_scr[k * to : (k + 1) * to] = yk.reshape(to, 8, 128)
 
     # 3: biquad recurrence over the m*to resampled steps
@@ -1308,6 +1326,7 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
                               op=None,
                               limiter: tuple = None,
                               lim_state=None,
+                              gains=None,
                               dma_depth: int = 4,
                               interpret: bool = False):
     """Fused pipeline over one block, reading straight from the chunked
@@ -1323,8 +1342,14 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
     subblk > 0 selects the blocked parallel-in-time biquad (sub-block
     length; must divide m*to with m*to/subblk <= 8 chains); 0 keeps the
     scattered look-ahead serial loop. binary_mix promises mixmat is 0/1
-    valued (gains folded into the PCM), enabling the exact 3-pass
-    split-operand mix.
+    valued (gains folded into the PCM — or supplied via ``gains``),
+    enabling the exact 3-pass split-operand mix.
+
+    gains: optional [8, 128] per-lane gain plane (lane l at (l//128,
+    l%128), unused lanes 1.0). When given, the kernel multiplies the
+    resample output by it ("gain_post") instead of expecting the fold in
+    the PCM — the chunks then hold RAW samples, so 16-bit-sourced content
+    splits exactly into two bf16 pieces (precision="int2" is lossless).
 
     Returns (mix [8, K*to], new bq_state tuple each [LANES]).
     """
@@ -1337,18 +1362,31 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
     mem = pltpu.ANY if interpret else pltpu.VMEM
     if lim_state is None:
         lim_state = jnp.zeros((8, 2), dt)
+    gain_post = gains is not None
+    if gain_post:
+        assert not firfold, "gain_post and firfold are exclusive"
+        assert gains.shape == (8, 128)
+        if P["bfold"]:
+            # the bfold kernel folds the gain into its existing 1/to
+            # scale pass (zero extra cost) — pre-divide here
+            gains = gains * (1.0 / to)
+    else:
+        gains = jnp.ones((8, 128), dt)
     in_specs = _common_in_specs(P, mem, P["K"])
     in_specs.insert(7, pl.BlockSpec(P["ab"].shape, lambda t: (0, 0),
                                     memory_space=mem))  # ab
     in_specs.append(pl.BlockSpec((8, 2), lambda t: (0, 0),
                                  memory_space=mem))     # limiter carries
+    in_specs.append(pl.BlockSpec((8, 128), lambda t: (0, 0),
+                                 memory_space=mem))     # per-lane gains
     out3, out_state, out_lim = pl.pallas_call(
         functools.partial(_fused_kernel, m=m, to=to, precision=P["prec"],
                           int3=P["int3"], lookahead=lookahead,
                           subblk=subblk, binary_mix=binary_mix,
                           bfold=P["bfold"], wsplit=P["wsplit"],
                           firfold=firfold, ring_chunks=ring_chunks,
-                          limiter=limiter, nslot=dma_depth),
+                          limiter=limiter, gain_post=gain_post,
+                          nslot=dma_depth),
         grid=(n_t,),
         in_specs=in_specs,
         out_specs=(
@@ -1368,7 +1406,7 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
         ],
         interpret=interpret,
     )(P["c0"], P["c"], P["chunks"], xn_t, P["g0t"], P["g1p"], P["mixt"],
-      P["ab"], P["st"], lim_state)
+      P["ab"], P["st"], lim_state, gains.astype(dt))
 
     mix = out3.reshape(P["K"] * to, 8).T
     new_state = tuple(out_state[:, i] for i in range(4))

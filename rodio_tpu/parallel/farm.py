@@ -182,9 +182,16 @@ class StreamFarm:
             )
             assert S * C <= LANES
             self._Kp = block_frames // to
+            # i16 wire: the device-decoded samples are k/2^15, whose
+            # two-bf16-piece split is EXACT — the ring keeps them raw
+            # (gains ride the kernel's scale pass) and drops to the
+            # lossless-there int2 layout: 2/3 the ring HBM traffic and a
+            # cheaper push jit. Other wires keep the 24-bit int3 pieces.
+            lossless_int2 = wire == "i16"
             self.feed = ChunkRingFeed(
-                S * C, in_rate, fr, self._Kp, 4 * self._Kp, "int3",
-                per_lane,
+                S * C, in_rate, fr, self._Kp, 4 * self._Kp,
+                "int2" if lossless_int2 else "int3",
+                per_lane, gain_post=lossless_int2,
             )
             self._push = self._Kp * fr
             self.port = None

@@ -277,6 +277,49 @@ def test_fused_int2_pieces_match(rng):
                                    atol=5e-7)
 
 
+def test_fused_gain_post_int2_lossless_content(rng):
+    """16-bit-quantized PCM: precision="auto" detects that every sample
+    splits exactly into two bf16 pieces, keeps the chunks RAW (per-lane
+    gains move to the in-kernel gain_post multiply), and selects the
+    int2 layout — lossless there (the dropped third piece is identically
+    zero), at 2/3 the chunk DMA traffic. Output matches the unfused
+    exact chain at the int3 tolerance class."""
+    S, C, frames = 8, 2, 44100
+    k = rng.integers(-32768, 32768, size=(S * C, frames))
+    # k/2^15 scaled by a power of two: exactly 16-bit-significand f32
+    wide = (k / 32768.0 * 0.125).astype(np.float32)
+    gains = rng.uniform(0.5, 1.5, S).astype(np.float32) / S
+    fused = FusedWidePipeline(
+        SamplesBuffer(S * C, 44100, wide), 48000, gains, S,
+    )
+    assert fused.precision == "int2" and fused.gain_post
+    ch = Resample(SamplesBuffer(S * C, 44100, wide), 48000)
+    ch = BltFilter(ch, "low_pass", 2000.0, 0.5, mode="exact")
+    ch = Amplify(ch, np.repeat(gains, C))
+    ch = WideMixer(ch, S)
+    sf, su = fused.init_state(), ch.init_state()
+    ef = jax.jit(lambda s: fused.emit(s, 640))
+    eu = jax.jit(lambda s: ch.emit(s, 640))
+    for _ in range(4):
+        sf, of, vf = ef(sf)
+        su, ou, vu = eu(su)
+        np.testing.assert_allclose(np.asarray(of), np.asarray(ou),
+                                   atol=5e-7)
+
+    # negative control: arbitrary f32 content is NOT 2-piece exact and
+    # must keep the full-width int3 layout with the init-time gain fold
+    noisy = (rng.standard_normal((S * C, frames)) * 0.1).astype(np.float32)
+    f2 = FusedWidePipeline(SamplesBuffer(S * C, 44100, noisy), 48000,
+                           gains, S)
+    assert f2.precision == "int3" and not f2.gain_post
+
+    # AGC layout never folds gains into the PCM, so exact content rides
+    # int2 directly (no gain_post needed)
+    f3 = FusedWidePipeline(SamplesBuffer(S * C, 44100, wide), 48000,
+                           gains, S, with_agc=True)
+    assert f3.precision == "int2" and not f3.gain_post
+
+
 def test_fused_wsplit_large_ratio_matches_unfused(rng):
     """44.1k -> 192k (to = 640 > 256): the split-integer weight path
     (w = 4*hi + lo, both bf16-exact) matches the unfused HIGHEST chain

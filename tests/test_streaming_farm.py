@@ -408,6 +408,35 @@ def test_stream_farm_fused_i24_wire():
     np.testing.assert_allclose(outs["i24"], outs["f32"], atol=4e-7)
 
 
+def test_stream_farm_fused_i16_wire_lossless_int2(rng):
+    """i16 wire + fused path: the ring keeps RAW k/2^15 samples (gains
+    ride the kernel's gain_post scale pass), so the int2 piece layout is
+    LOSSLESS — the dropped third bf16 piece is identically zero. Output
+    matches the f32-wire int3 fused farm to the i16 wire quantization of
+    the (16-bit-sourced, hence exactly representable) flac content: the
+    only remaining difference is the ~1 ulp gain-order move."""
+    _skip_without_native()
+    from rodio_tpu.parallel.farm import StreamFarm
+
+    outs = {}
+    for wire in ("f32", "i16"):
+        farm = StreamFarm([ASSET] * 4, block_frames=1280, loop=False,
+                          decode_workers=4, fused=True, wire=wire)
+        if wire == "i16":
+            assert farm.feed.npc == 2 and farm.feed.gain_post
+        else:
+            assert farm.feed.npc == 3 and not farm.feed.gain_post
+        blocks = []
+        valid, energy, overflow = farm.run(
+            8, on_block=lambda k, o, v: blocks.append(
+                np.asarray(o)[:, :int(v)])
+        )
+        farm.close()
+        assert valid == 8 * 1280 and not overflow and energy > 0
+        outs[wire] = np.concatenate(blocks, axis=1)
+    np.testing.assert_allclose(outs["i16"], outs["f32"], atol=5e-7)
+
+
 def test_i24_wire_codec_roundtrip():
     """Host encode -> device decode round-trip is exact to 2^-24 and
     EXACT for 16-bit-quantized samples (the i16-sourced flac case)."""
