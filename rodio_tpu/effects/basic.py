@@ -243,10 +243,15 @@ class SkipDuration(_Wrap):
         from ..sources.generators import SamplesBuffer, SignalGenerator
 
         if isinstance(self.input, SamplesBuffer):
-            return self.input.seek_state(
-                s, self.skip_ns / NANOS_PER_SEC
-            )
+            # seek by the EXACT frame count, not through float seconds:
+            # int(skip_ns/1e9 * rate) can truncate one frame low when
+            # the product lands just under an integer (e.g. 18 ms at
+            # 48 kHz -> int(863.9999...) = 863, not 864 — found by the
+            # differential fuzzer, seed 8)
+            pos = min(self.input._start + remaining, self.input._frames)
+            return {**s, "pos": jnp.asarray(pos, dtype=jnp.int32)}
         if isinstance(self.input, SignalGenerator):
+            # phase seek is continuous f64 (no int truncation cliff)
             return self.input.seek_state(self.skip_ns / NANOS_PER_SEC)
         step = 8192
         while remaining > 0:

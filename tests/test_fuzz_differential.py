@@ -25,9 +25,13 @@ from rodio_tpu.effects import (
     Amplify,
     AutomaticGainControl,
     BltFilter,
+    ChannelVolume,
+    Delay,
     Distortion,
     Limit,
     LimitSettings,
+    LinearGainRamp,
+    SkipDuration,
     TakeDuration,
 )
 from rodio_tpu.sources import SamplesBuffer
@@ -81,6 +85,22 @@ def _mk_take(p, node):
     return TakeDuration(node, p["sec"], fadeout=p["fadeout"])
 
 
+def _mk_ramp(p, node):
+    return LinearGainRamp(node, p["sec"], p["g0"], p["g1"], p["clamp"])
+
+
+def _mk_delay(p, node):
+    return Delay(node, p["sec"])
+
+
+def _mk_skip(p, node):
+    return SkipDuration(node, p["sec"])
+
+
+def _mk_chvol(p, node):
+    return ChannelVolume(node, p["vols"])
+
+
 def _rf_amplify(p, src):
     return ri.Amplify(src, p["gain"])
 
@@ -111,6 +131,23 @@ def _rf_take(p, src):
     return out
 
 
+def _rf_ramp(p, src):
+    return ri.LinearGainRamp(src, int(p["sec"] * 1e9), p["g0"], p["g1"],
+                             p["clamp"])
+
+
+def _rf_delay(p, src):
+    return ri.Delay(src, int(p["sec"] * 1e9))
+
+
+def _rf_skip(p, src):
+    return ri.skip_duration(src, int(p["sec"] * 1e9))
+
+
+def _rf_chvol(p, src):
+    return ri.ChannelVolume(src, p["vols"])
+
+
 def _sample_params(rng, name, mode):
     if name == "amplify":
         return {"gain": float(np.float32(rng.uniform(0.3, 1.8)))}
@@ -134,6 +171,23 @@ def _sample_params(rng, name, mode):
         # ms-truncated gain staircase is exact in the block engine too
         return {"sec": int(rng.integers(60, 140)) * 0.001,
                 "fadeout": bool(rng.integers(0, 2))}
+    if name == "ramp":
+        return {"sec": int(rng.integers(5, 80)) * 0.001,
+                "g0": float(np.float32(rng.uniform(0.0, 1.5))),
+                "g1": float(np.float32(rng.uniform(0.0, 1.5))),
+                "clamp": bool(rng.integers(0, 2))}
+    if name == "delay":
+        # whole-ms durations are whole frames at 48k, where the block
+        # engine's frame rounding and the reference's interleaved-sample
+        # count coincide (README "Numerical parity" deviations note)
+        return {"sec": int(rng.integers(1, 40)) * 0.001}
+    if name == "skip":
+        # <= 20 ms so a take(>=60ms)+skip chain still leaves > 1000
+        # comparable samples (the _diff sanity floor)
+        return {"sec": int(rng.integers(1, 20)) * 0.001}
+    if name == "chvol":
+        return {"vols": [float(np.float32(rng.uniform(0.2, 1.2))),
+                         float(np.float32(rng.uniform(0.2, 1.2)))]}
     raise KeyError(name)
 
 
@@ -144,6 +198,10 @@ STAGES = {
     "limit": (_mk_limit, _rf_limit),
     "dist": (_mk_dist, _rf_dist),
     "take": (_mk_take, _rf_take),
+    "ramp": (_mk_ramp, _rf_ramp),
+    "delay": (_mk_delay, _rf_delay),
+    "skip": (_mk_skip, _rf_skip),
+    "chvol": (_mk_chvol, _rf_chvol),
 }
 
 
@@ -158,11 +216,12 @@ def _build_case(seed, mode):
     n_stages = int(rng.integers(3, 9))
     names = list(rng.choice(list(STAGES), size=n_stages))
     # at most one AGC / limit per chain (stacked ones are pathological
-    # and slow the per-sample oracle to no diagnostic benefit)
+    # and slow the per-sample oracle to no diagnostic benefit); at most
+    # one take / skip so total length stays above the _diff sanity floor
     seen = set()
     recipe = []
     for nm in names:
-        if nm in ("agc", "limit") and nm in seen:
+        if nm in ("agc", "limit", "take", "skip") and nm in seen:
             nm = "amplify"
         seen.add(nm)
         recipe.append((nm, _sample_params(rng, nm, mode)))
@@ -211,11 +270,23 @@ def _ref_render(recipe, data):
 
 def _tolerance(recipe):
     names = {nm for nm, _ in recipe}
+    # stages downstream of a biquad/limiter/AGC amplify its deviation;
+    # bound the chain's gain product (dist multiplies by `drive` before
+    # clipping, amplify by `gain`) — fuzz seed 8 found a 2.3x-amplified
+    # FMA artifact this static bound must cover
+    amp = 1.0
+    for nm, p in recipe:
+        if nm == "amplify":
+            amp *= max(1.0, p["gain"])
+        elif nm == "dist":
+            amp *= max(1.0, p["drive"])
+        elif nm == "chvol":
+            amp *= max(1.0, *p["vols"])
     if "agc" in names:
         # XLA:CPU FMA contraction through the AGC gain smoother
         # (documented test-host artifact, PARITY_TPU.md) + the pallas
         # AGC's decomposed-rsqrt contract (2e-5)
-        return 2e-4
+        return 2e-4 * amp
     if "limit" in names or "blt" in names:
         # XLA:CPU's LLVM backend contracts the biquad/limiter FMA
         # chains; with resonant q the feedback integrates the 1-ulp
@@ -223,8 +294,8 @@ def _tolerance(recipe):
         # and 47 found exactly this). The TPU render is bit-exact
         # (PARITY_TPU.md config2) — this bound is the CPU test host's,
         # not the engine's.
-        return 2e-5
-    return 1e-6
+        return 2e-5 * amp
+    return 1e-6 * amp
 
 
 def _diff(recipe, data, blocks_rng, mode):
