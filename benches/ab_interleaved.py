@@ -155,6 +155,20 @@ def main():
         # the full new default resolution (auto precision probe + auto
         # m/dma/lookahead): what `python bench.py` now runs
         ("autodefault", dict(_T=4800)),
+        # ufir: FIR as 3 vector passes + the u-form 2-term IIR loop
+        # (firfold's cheap loop without its 3x-stacked weight dot)
+        ("u4-ufir", dict(firfold=False, lookahead=-4, ufir=True,
+                         _T=4800)),
+        ("u8-ufir", dict(firfold=False, lookahead=-8, ufir=True,
+                         _T=4800)),
+        ("u4-int2m3-ufir", dict(firfold=False, lookahead=-4, ufir=True,
+                                precision="int2", m=3, _T=4800,
+                                dma_depth=3)),
+        ("u8-int2m3-ufir", dict(firfold=False, lookahead=-8, ufir=True,
+                                precision="int2", m=3, _T=4800,
+                                dma_depth=3)),
+        ("u4-ufir-g16", dict(firfold=False, lookahead=-4, ufir=True,
+                             agc_group=16, _T=4800)),
     ]
     only = os.environ.get("AB_ONLY")
     variants = [(n, k) for n, k in catalog

@@ -95,7 +95,8 @@ class FusedWidePipeline(Node):
                  n_streams: int, kind: str = "low_pass",
                  freq: float = 2000.0, q: float = 0.5, *, m: int = 2,
                  precision: str = "auto", lookahead="auto",
-                 subblk: int = 0, firfold="auto", gain_post="auto",
+                 subblk: int = 0, firfold="auto", ufir: bool = False,
+                 gain_post="auto",
                  with_agc: bool = False, agc_settings=None,
                  agc_ring: str = "bf16", agc_group: int = 0,
                  dma_depth: int = 4, master_limit=None):
@@ -188,6 +189,14 @@ class FusedWidePipeline(Node):
             assert self.bfold and self.to >= 2 and not subblk, (
                 "firfold requires the int-piece bfold layout, to >= 2, "
                 "and the look-ahead IIR plan"
+            )
+        #: ufir: FIR as 3 full-width vector passes + the u-form 2-term
+        #: IIR serial loop (firfold's loop without its 3x-stacked weight
+        #: dot) — roughly halves the issue-bound serial-loop ops
+        self.ufir = bool(ufir)
+        if self.ufir:
+            assert not self.firfold and not subblk, (
+                "ufir is an alternative IIR plan to firfold/subblk"
             )
         # optional in-kernel master-bus limiter (the blocked limiter as
         # the mega-kernel epilogue). Same parity class as the node path's
@@ -435,7 +444,8 @@ class FusedWidePipeline(Node):
             self._rs._G0, self._rs._g1, coeffs, fr=fr, to=self.to,
             m=self.m, fr_p=fr_p, npc=npc, precision=self.precision,
             lookahead=self.lookahead, subblk=self.subblk,
-            bfold=self.bfold, firfold=self.firfold, wsplit=wsplit,
+            bfold=self.bfold, firfold=self.firfold, ufir=self.ufir,
+            wsplit=wsplit,
             dt=float_dtype(),
             coeffs_static=self.coeffs if self.subblk else None,
         )
@@ -525,7 +535,7 @@ class FusedWidePipeline(Node):
                 precision=self.precision, lookahead=self.lookahead,
                 agc_params=tuple(state["agc_par"][i] for i in range(6)),
                 lag=self._lag,
-                bfold=self.bfold, firfold=self.firfold,
+                bfold=self.bfold, firfold=self.firfold, ufir=self.ufir,
                 op=state["op"],
                 limiter=self._limiter,
                 lim_state=state.get("lim"),
@@ -546,7 +556,7 @@ class FusedWidePipeline(Node):
                 state["bq"], fr=fr, to=to, m=m,
                 precision=self.precision, lookahead=self.lookahead,
                 subblk=self.subblk, binary_mix=True,
-                bfold=self.bfold, firfold=self.firfold,
+                bfold=self.bfold, firfold=self.firfold, ufir=self.ufir,
                 coeffs_static=self.coeffs if self.subblk else None,
                 op=state["op"],
                 limiter=self._limiter,
@@ -834,7 +844,7 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
                   source_pcm: Optional[np.ndarray] = None,
                   max_block: int = 8192, lookahead="auto",
                   precision: str = "auto", firfold="auto",
-                  gain_post="auto",
+                  ufir: bool = False, gain_post="auto",
                   agc_ring: str = "bf16", agc_group: int = 0, m="auto",
                   dma_depth="auto", inkernel_limit: bool = False):
     """Build (master_node, state) for the flagship pipeline.
@@ -872,7 +882,7 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
         fused = FusedWidePipeline(
             chain, out_rate, gains, n_streams, "low_pass", 2000.0, 0.5,
             with_agc=with_agc, lookahead=lookahead, precision=precision,
-            firfold=firfold, gain_post=gain_post,
+            firfold=firfold, ufir=ufir, gain_post=gain_post,
             agc_ring=agc_ring, agc_group=agc_group, m=m,
             dma_depth=dma_depth,
             master_limit=LimitSettings() if inkernel_limit else None,

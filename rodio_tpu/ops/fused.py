@@ -116,6 +116,7 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                   lookahead: int = 1, subblk: int = 0,
                   binary_mix: bool = False, bfold: bool = False,
                   wsplit: bool = False, firfold: bool = False,
+                  ufir: bool = False,
                   ring_chunks: int = 0, limiter: tuple = None,
                   gain_post: bool = False, nslot: int = 3):
     _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
@@ -123,7 +124,7 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 carry, xraw, x_scr, y_scr, sems,
                 m=m, to=to, precision=precision, int3=int3,
                 lookahead=lookahead, subblk=subblk, binary_mix=binary_mix,
-                bfold=bfold, wsplit=wsplit, firfold=firfold,
+                bfold=bfold, wsplit=wsplit, firfold=firfold, ufir=ufir,
                 ring_chunks=ring_chunks,
                 ab_ref=ab_ref, corr_scr=corr_scr, nslot=nslot,
                 gv_ref=gv_ref, gain_post=gain_post,
@@ -141,7 +142,8 @@ def _fused_agc_kernel(c0_ref, k0_ref, agcp_ref, c_ref, chunks_ref, xn_ref,
                       *, m: int, to: int, precision, int3: bool,
                       lookahead: int, rs_slots: int, lag: int,
                       bfold: bool = False, wsplit: bool = False,
-                      firfold: bool = False, ring_chunks: int = 0,
+                      firfold: bool = False, ufir: bool = False,
+                      ring_chunks: int = 0,
                       limiter: tuple = None, agc_group: int = 0,
                       nslot: int = 3):
     """AGC-bearing variant: adds the per-stream AGC stage between the
@@ -158,7 +160,7 @@ def _fused_agc_kernel(c0_ref, k0_ref, agcp_ref, c_ref, chunks_ref, xn_ref,
                 carry, xraw, x_scr, y_scr, sems,
                 m=m, to=to, precision=precision, int3=int3,
                 lookahead=lookahead,
-                bfold=bfold, wsplit=wsplit, firfold=firfold,
+                bfold=bfold, wsplit=wsplit, firfold=firfold, ufir=ufir,
                 ring_chunks=ring_chunks,
                 agc=True, agcp_ref=agcp_ref,
                 k0_ref=k0_ref, agc_ref=agc_ref, ring_ref=ring_ref,
@@ -178,6 +180,7 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 lookahead: int = 1, subblk: int = 0,
                 binary_mix: bool = False, bfold: bool = False,
                 wsplit: bool = False, firfold: bool = False,
+                ufir: bool = False,
                 ring_chunks: int = 0,
                 limiter: tuple = None, lim_ref=None, out_lim_ref=None,
                 limc=None,
@@ -402,17 +405,35 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
         x_scr[k * to : (k + 1) * to] = yk.reshape(to, 8, 128)
 
     # 3: biquad recurrence over the m*to resampled steps
-    if firfold:
-        # pure 2-term IIR on the FIR-folded u values (x_scr), unrolled
-        # LA-deep with the u-form coefficient rows (see _prepare): the
-        # leading u term has coefficient 1, so output k costs k+2 FMAs —
-        # ~40% fewer serial-loop ops than the full-biquad unrolling
+    if firfold or ufir:
+        # pure 2-term IIR on u values, unrolled LA-deep with the u-form
+        # coefficient rows (see _prepare): the leading u term has
+        # coefficient 1, so output k costs k+2 FMAs — ~40% fewer
+        # serial-loop ops than the full-biquad unrolling.
+        # firfold: u comes FIR-folded out of the resample dot (x_scr);
+        # ufir: u is computed HERE as three full-width vector passes
+        # (b0 x + b1 x[-1] + b2 x[-2] has no serial dependency) into
+        # y_scr, which the loop then overwrites row-by-row with y —
+        # the FIR leaves the issue-bound serial loop at the cost of
+        # ~3 vector passes, WITHOUT firfold's 3x-stacked weight dot
+        # (the part measured slower than the serial savings).
+        if ufir:
+            y_scr[0] = b0 * x_scr[0] + b1 * carry[0] + b2 * carry[1]
+            y_scr[1] = b0 * x_scr[1] + b1 * x_scr[0] + b2 * carry[0]
+            y_scr[pl.ds(2, mto - 2)] = (
+                b0 * x_scr[pl.ds(2, mto - 2)]
+                + b1 * x_scr[pl.ds(1, mto - 2)]
+                + b2 * x_scr[pl.ds(0, mto - 2)]
+            )
+            u_buf = y_scr
+        else:
+            u_buf = x_scr
         LA = max(lookahead, 1)
 
         def step_ff(i, acc):
             py1, py2 = acc
             t = LA * i
-            us = [x_scr[t + j] for j in range(LA)]
+            us = [u_buf[t + j] for j in range(LA)]
             ys = []
             base = 5
             for k in range(LA):
@@ -443,6 +464,10 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
             )
         carry[2] = y1
         carry[3] = y2
+        if ufir:
+            # x history for the next block's FIR rows 0/1
+            carry[0] = x_scr[mto - 1]
+            carry[1] = x_scr[mto - 2]
     elif subblk:
         # blocked parallel-in-time biquad (non-AGC path):
         #   a. FIR part u = b0 x + b1 x[-1] + b2 x[-2] as ARRAY ops (no
@@ -565,9 +590,9 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
         else:
             x1, x2, y1, y2 = jax.lax.fori_loop(0, m * to, step, init)
 
-    if not firfold:
-        # firfold already stored its carries (x tail in the resample
-        # loop, y tail in its own IIR branch)
+    if not (firfold or ufir):
+        # firfold/ufir already stored their carries (x tail in the
+        # resample loop / FIR pre-pass, y tail in the u-form IIR branch)
         carry[0] = x1
         carry[1] = x2
         carry[2] = y1
@@ -1007,6 +1032,7 @@ def build_fused_operator(g0, g1, coeffs, *, fr: int, to: int, m: int,
                          fr_p: int, npc: int, precision: str,
                          lookahead: int, subblk: int = 0,
                          bfold: bool = False, firfold: bool = False,
+                         ufir: bool = False,
                          wsplit: bool = False, dt=jnp.float32,
                          coeffs_static: tuple = None):
     """Derive the kernel's COEFF-DEPENDENT constants: the packed SMEM
@@ -1060,9 +1086,9 @@ def build_fused_operator(g0, g1, coeffs, *, fr: int, to: int, m: int,
             ab_np[g * L : (g + 1) * L, 2 * (g - 1)] = alpha
             ab_np[g * L : (g + 1) * L, 2 * (g - 1) + 1] = beta
         ab = jnp.asarray(ab_np, dt)
-    elif firfold:
-        # u-form look-ahead rows: with the FIR folded into the resample
-        # operator the kernel loop runs the PURE 2-term IIR
+    elif firfold or ufir:
+        # u-form look-ahead rows (shared by firfold and ufir): with the
+        # FIR out of the loop the kernel runs the PURE 2-term IIR
         #   y[t] = u[t] - a1 y[t-1] - a2 y[t-2]
         # Unrolled LA-deep, output k is expressed in the iteration-entry
         # state as
@@ -1228,6 +1254,7 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
              *, fr: int, to: int, m: int, precision: str, lookahead: int,
              subblk: int = 0, binary_mix: bool = False,
              bfold: bool = False, firfold: bool = False,
+             ufir: bool = False,
              coeffs_static: tuple = None, op=None):
     """Shared per-call prep: layout facts, state packing, and (when the
     caller did not supply a precomputed ``op``) the coeff-dependent
@@ -1250,11 +1277,15 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
     assert xn_t.shape == (K, LANES) and K % m == 0
     dt = xn_t.dtype
 
+    if ufir:
+        assert not firfold and not subblk, (
+            "ufir is an alternative IIR plan to firfold/subblk"
+        )
     if op is None:
         op = build_fused_operator(
             g0, g1, coeffs, fr=fr, to=to, m=m, fr_p=fr_p, npc=npc,
             precision=precision, lookahead=lookahead, subblk=subblk,
-            bfold=bfold, firfold=firfold, wsplit=wsplit, dt=dt,
+            bfold=bfold, firfold=firfold, ufir=ufir, wsplit=wsplit, dt=dt,
             coeffs_static=coeffs_static,
         )
     c, g0t, ab = op["c"], op["g0t"], op["ab"]
@@ -1309,7 +1340,7 @@ def _common_scratch(P, m, to, nslot: int = 4):
 @functools.partial(
     jax.jit,
     static_argnames=("fr", "to", "m", "interpret", "precision", "lookahead",
-                     "subblk", "binary_mix", "bfold", "firfold",
+                     "subblk", "binary_mix", "bfold", "firfold", "ufir",
                      "coeffs_static", "ring_chunks", "limiter",
                      "dma_depth"),
 )
@@ -1321,6 +1352,7 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
                               binary_mix: bool = False,
                               bfold: bool = False,
                               firfold: bool = False,
+                              ufir: bool = False,
                               coeffs_static: tuple = None,
                               ring_chunks: int = 0,
                               op=None,
@@ -1356,7 +1388,8 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
     P = _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
                  fr=fr, to=to, m=m, precision=precision, lookahead=lookahead,
                  subblk=subblk, binary_mix=binary_mix, bfold=bfold,
-                 firfold=firfold, coeffs_static=coeffs_static, op=op)
+                 firfold=firfold, ufir=ufir, coeffs_static=coeffs_static,
+                 op=op)
     n_t = P["n_t"]
     dt = P["dt"]
     mem = pltpu.ANY if interpret else pltpu.VMEM
@@ -1384,7 +1417,8 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
                           int3=P["int3"], lookahead=lookahead,
                           subblk=subblk, binary_mix=binary_mix,
                           bfold=P["bfold"], wsplit=P["wsplit"],
-                          firfold=firfold, ring_chunks=ring_chunks,
+                          firfold=firfold, ufir=ufir,
+                          ring_chunks=ring_chunks,
                           limiter=limiter, gain_post=gain_post,
                           nslot=dma_depth),
         grid=(n_t,),
@@ -1418,8 +1452,8 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
 @functools.partial(
     jax.jit,
     static_argnames=("fr", "to", "m", "interpret", "precision", "lookahead",
-                     "lag", "bfold", "firfold", "ring_chunks", "limiter",
-                     "agc_group", "dma_depth"),
+                     "lag", "bfold", "firfold", "ufir", "ring_chunks",
+                     "limiter", "agc_group", "dma_depth"),
     donate_argnames=("ring",),
 )
 def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
@@ -1431,6 +1465,7 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
                                   lag: int,
                                   bfold: bool = False,
                                   firfold: bool = False,
+                                  ufir: bool = False,
                                   ring_chunks: int = 0,
                                   op=None,
                                   limiter: tuple = None,
@@ -1455,7 +1490,7 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
     """
     P = _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
                  fr=fr, to=to, m=m, precision=precision, lookahead=lookahead,
-                 bfold=bfold, firfold=firfold, op=op)
+                 bfold=bfold, firfold=firfold, ufir=ufir, op=op)
     n_t = P["n_t"]
     dt = P["dt"]
     mto = m * to
@@ -1505,7 +1540,7 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
             _fused_agc_kernel, m=m, to=to, precision=P["prec"],
             int3=P["int3"], lookahead=lookahead,
             rs_slots=rs_slots, lag=lag, bfold=P["bfold"],
-            wsplit=P["wsplit"], firfold=firfold,
+            wsplit=P["wsplit"], firfold=firfold, ufir=ufir,
             ring_chunks=ring_chunks, limiter=limiter,
             agc_group=agc_group, nslot=dma_depth,
         ),

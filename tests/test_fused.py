@@ -320,6 +320,35 @@ def test_fused_gain_post_int2_lossless_content(rng):
     assert f3.precision == "int2" and not f3.gain_post
 
 
+@pytest.mark.parametrize("lookahead,agc", [(4, False), (4, True),
+                                           (-4, False)])
+def test_fused_ufir_matches_lookahead(rng, lookahead, agc):
+    """ufir (vectorized FIR + u-form 2-term IIR loop) matches the
+    full-biquad look-ahead plan to the usual reassociation class —
+    rolled and statically-unrolled forms, and under the in-kernel AGC
+    (rolled only: unrolled+AGC compiles are interpreter-prohibitive and
+    exercise the same branch)."""
+    S, C, frames = 8, 2, 44100
+    wide = (rng.standard_normal((S * C, frames)) * 0.1).astype(np.float32)
+    gains = rng.uniform(0.5, 1.5, S).astype(np.float32) / S
+    base = FusedWidePipeline(
+        SamplesBuffer(S * C, 44100, wide), 48000, gains, S,
+        lookahead=lookahead, with_agc=agc,
+    )
+    uf = FusedWidePipeline(
+        SamplesBuffer(S * C, 44100, wide), 48000, gains, S,
+        lookahead=lookahead, ufir=True, with_agc=agc,
+    )
+    sb, su = base.init_state(), uf.init_state()
+    eb = jax.jit(lambda s, n=base: n.emit(s, 640))
+    eu = jax.jit(lambda s, n=uf: n.emit(s, 640))
+    for _ in range(3):
+        sb, ob, vb = eb(sb)
+        su, ou, vu = eu(su)
+        np.testing.assert_allclose(np.asarray(ou), np.asarray(ob),
+                                   atol=2e-6)
+
+
 def test_fused_wsplit_large_ratio_matches_unfused(rng):
     """44.1k -> 192k (to = 640 > 256): the split-integer weight path
     (w = 4*hi + lo, both bf16-exact) matches the unfused HIGHEST chain
