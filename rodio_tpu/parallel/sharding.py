@@ -294,3 +294,168 @@ class ShardedWidePipeline:
         mst_in["in"] = {}
         chain, mst, out, v = step(state["chain"], mst_in)
         return {"chain": chain, "master": mst}, out, v
+
+
+class ShardedFusedPipeline:
+    """The fused MEGA-KERNEL sharded over a device mesh — the flagship
+    perf path at multi-chip scale (VERDICT r3 #1).
+
+    ``build(n_local_streams, shard) -> Node`` constructs one chip's
+    fused pipeline (a :class:`~rodio_tpu.flagship.FusedWidePipeline`,
+    or any node whose ``emit`` yields that chip's PARTIAL stream mix
+    [C, T]); ``shard`` selects that chip's slice of the global content.
+    All shards must be structurally identical (same rates / kernel
+    config) — only state CONTENT may differ.
+
+    Layout: the per-shard states stack on a leading device axis sharded
+    1-per-chip over the mesh, so inside ``shard_map`` each chip sees
+    exactly its own fused state, runs the Pallas mega-kernel on its
+    local streams, and ONE ``psum`` over ICI produces the global mix
+    (the cross-chip analog of src/mixer.rs:185-198) — the master-bus
+    limiter then runs in-shard on the replicated mix, exactly like the
+    single-chip flagship's mix+master stack. Per-block cross-chip
+    traffic is the [C, T] partial mix only (~33 KB at T=4160).
+
+    Works on a 1-D ``("streams",)`` mesh or the hybrid
+    ``("dcn", "streams")`` multi-host mesh (psum over the axis pair →
+    hierarchical reduce: ICI partials first, one block over DCN).
+    """
+
+    def __init__(self, build, n_streams: int, mesh: Mesh,
+                 axis="streams", master_settings=None,
+                 master_mode: str = "auto"):
+        from ..effects.limit import Limit, LimitSettings
+
+        self.mesh = mesh
+        self.axis = _axes_tuple(axis)
+        n_dev = int(np.prod([mesh.shape[a] for a in self.axis]))
+        if n_streams % n_dev:
+            raise ValueError(
+                f"{n_streams} streams not divisible by {n_dev} devices"
+            )
+        self.n_streams = n_streams
+        self.n_dev = n_dev
+        s_local = n_streams // n_dev
+        self._locals = [build(s_local, d) for d in range(n_dev)]
+        self.template = self._locals[0]
+        self.spec = self.template.spec
+        # structural identity across shards: same treedef, leaf shapes
+        states = [p.init_state() for p in self._locals]
+        leaves0, self._treedef = jax.tree_util.tree_flatten(states[0])
+        for st in states[1:]:
+            lv, td = jax.tree_util.tree_flatten(st)
+            assert td == self._treedef and all(
+                a.shape == b.shape and a.dtype == b.dtype
+                for a, b in zip(lv, leaves0)
+            ), "shards must be structurally identical"
+        self._init_states = states
+        feed = _BlockFeed(self.spec.channels, self.spec.sample_rate)
+        self.master = Limit(
+            feed, master_settings or LimitSettings(), mode=master_mode
+        )
+        lead = _lead_spec(self.axis)
+        self._chain_specs = jax.tree_util.tree_map(
+            lambda x: P(lead, *([None] * np.ndim(x))), states[0]
+        )
+        self._steps = {}
+
+    def init_state(self) -> State:
+        def put(xs, spec):
+            return jax.device_put(
+                jnp.stack([jnp.asarray(x) for x in xs]),
+                NamedSharding(self.mesh, spec),
+            )
+
+        chain = jax.tree_util.tree_map(
+            put,
+            jax.tree_util.tree_map(lambda *xs: list(xs), *self._init_states),
+            self._chain_specs,
+            is_leaf=lambda x: isinstance(x, list),
+        )
+        rep = NamedSharding(self.mesh, P())
+        master = jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), rep),
+            self.master.init_state(),
+        )
+        return {"chain": chain, "master": master}
+
+    def _replicate_chain_update(self, state: State, update: State) -> State:
+        """Swap shard-identical fields (coeffs / derived operator / AGC
+        knobs) into every shard of the stacked chain state: live retune
+        at multi-chip scale, zero re-trace."""
+        lead = _lead_spec(self.axis)
+
+        def bcast(x):
+            x = jnp.asarray(x)
+            return jax.device_put(
+                jnp.broadcast_to(x[None], (self.n_dev,) + x.shape),
+                NamedSharding(self.mesh, P(lead, *([None] * x.ndim))),
+            )
+
+        chain = dict(state["chain"])
+        for k, v in update.items():
+            chain[k] = jax.tree_util.tree_map(bcast, v)
+        return {**state, "chain": chain}
+
+    def retune(self, state: State, **kw) -> State:
+        """Live biquad retune on every shard (src/source/blt.rs:68-91):
+        recompute coeffs + derived operator host-side once, broadcast
+        into the sharded state — no recompile, no resharding."""
+        one = self.template.retune(self._init_states[0], **kw)
+        return self._replicate_chain_update(
+            state, {"coeffs": one["coeffs"], "op": one["op"]}
+        )
+
+    def set_agc_params(self, state: State, **kw) -> State:
+        assert getattr(self.template, "with_agc", False)
+        # template.set_agc_params reads state["agc_par"]; feed it shard
+        # 0's current values from the stacked state
+        cur = {**self._init_states[0],
+               "agc_par": jax.device_get(state["chain"]["agc_par"])[0]}
+        one = self.template.set_agc_params(cur, **kw)
+        return self._replicate_chain_update(
+            state, {"agc_par": one["agc_par"]}
+        )
+
+    def _build_step(self, n: int):
+        axis = self.axis
+        local = self.template
+        master = self.master
+
+        def per_chip(chain_state, master_state):
+            cs = jax.tree_util.tree_map(lambda x: x[0], chain_state)
+            cs, part, valid = local.emit(cs, n)
+            mix = jax.lax.psum(part, axis)
+            valid = jax.lax.pmax(valid, axis)
+            mst, out, v = master.emit(
+                {**master_state, "in": {"blk": mix, "v": valid}}, n
+            )
+            mst = {**mst, "in": {}}
+            return (
+                jax.tree_util.tree_map(lambda x: x[None], cs),
+                mst, out, v,
+            )
+
+        from jax.experimental.shard_map import shard_map
+
+        rep_specs = jax.tree_util.tree_map(
+            lambda _: P(), self.master.init_state()
+        )
+        fn = shard_map(
+            per_chip,
+            mesh=self.mesh,
+            in_specs=(self._chain_specs, rep_specs),
+            out_specs=(self._chain_specs, rep_specs, P(), P()),
+            check_rep=False,
+        )
+        return jax.jit(fn)
+
+    def emit(self, state: State, n: int):
+        step = self._steps.get(n)
+        if step is None:
+            step = self._build_step(n)
+            self._steps[n] = step
+        mst_in = dict(state["master"])
+        mst_in["in"] = {}
+        chain, mst, out, v = step(state["chain"], mst_in)
+        return {"chain": chain, "master": mst}, out, v

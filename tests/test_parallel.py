@@ -230,6 +230,143 @@ def test_hybrid_mesh_wide_pipeline():
     assert len(leaf.sharding.device_set) == 8, "state not sharded over 2x4"
 
 
+def _fused_shard_builder(frames, n_streams, n_dev, seed=11):
+    """Per-shard FusedWidePipeline builder + the same content for the
+    dense reference (content differs per shard, structure identical)."""
+    from rodio_tpu.flagship import FusedWidePipeline
+
+    r = np.random.default_rng(seed)
+    s_local = n_streams // n_dev
+    pcms = [
+        r.standard_normal((s_local * 2, frames)).astype(np.float32) * 0.3
+        for _ in range(n_dev)
+    ]
+    gains = [
+        r.uniform(0.5, 1.5, s_local).astype(np.float32) / n_streams
+        for _ in range(n_dev)
+    ]
+
+    def build(S_local, shard):
+        assert S_local == s_local
+        node = SamplesBuffer(S_local * 2, 44100, pcms[shard])
+        return FusedWidePipeline(node, 48000, gains[shard], S_local)
+
+    return build
+
+
+def test_sharded_fused_pipeline_equals_dense(mesh):
+    """The fused MEGA-KERNEL sharded over 8 devices (interpret mode on
+    the virtual CPU mesh): per-chip Pallas kernel on local streams, psum
+    mix over the mesh, master limiter in-shard — equals the per-shard
+    dense fused renders summed + the same master limiter (VERDICT r3
+    #1: the flagship kernel's multi-chip form)."""
+    from rodio_tpu.effects.limit import Limit, LimitSettings
+    from rodio_tpu.parallel.sharding import ShardedFusedPipeline
+
+    S, n_dev, T, blocks, frames = 16, 8, 320, 4, 2200
+    build = _fused_shard_builder(frames, S, n_dev)
+
+    sharded = ShardedFusedPipeline(
+        build, S, mesh, master_mode="exact"
+    )
+    sstate = sharded.init_state()
+
+    # dense reference: each shard's fused pipeline separately, partial
+    # mixes summed, identical master limiter on the sum
+    denses = [build(S // n_dev, d) for d in range(n_dev)]
+    dstates = [p.init_state() for p in denses]
+
+    class _SumFeed:
+        def __init__(self, nodes):
+            self.nodes = nodes
+            self.spec = nodes[0].spec
+
+        def total_frames(self):
+            return None
+
+        def init_state(self):
+            return [p.init_state() for p in self.nodes]
+
+        def emit(self, sts, n):
+            outs, vs, new = [], [], []
+            for p, st in zip(self.nodes, sts):
+                st2, o, v = p.emit(st, n)
+                new.append(st2)
+                outs.append(o)
+                vs.append(v)
+            return new, sum(outs), jax.numpy.max(jax.numpy.stack(vs))
+
+    master = Limit(_SumFeed(denses), LimitSettings(), mode="exact")
+    dstate = master.init_state()
+    dstep = jax.jit(lambda s: master.emit(s, T))
+
+    for k in range(blocks):
+        sstate, smix, sv = sharded.emit(sstate, T)
+        dstate, dmix, dv = dstep(dstate)
+        assert int(sv) == int(dv) == T
+        np.testing.assert_allclose(
+            np.asarray(smix), np.asarray(dmix), atol=2e-6,
+            err_msg=f"block {k}",
+        )
+
+    # state stays sharded across the mesh and the step is cached
+    leaf = jax.tree_util.tree_leaves(sstate["chain"])[0]
+    assert len(leaf.sharding.device_set) == 8
+    step = sharded._steps[T]
+    sstate, _, _ = sharded.emit(sstate, T)
+    assert sharded._steps[T] is step
+
+
+def test_sharded_fused_retune_matches_dense(mesh):
+    """Live biquad retune broadcast into every shard mid-run: zero
+    re-trace (cached step identity) and parity with the dense chains
+    retuned the same way."""
+    from rodio_tpu.effects.limit import Limit, LimitSettings
+    from rodio_tpu.parallel.sharding import ShardedFusedPipeline
+
+    S, n_dev, T, frames = 16, 8, 320, 2200
+    build = _fused_shard_builder(frames, S, n_dev, seed=23)
+    sharded = ShardedFusedPipeline(build, S, mesh, master_mode="exact")
+    sstate = sharded.init_state()
+
+    denses = [build(S // n_dev, d) for d in range(n_dev)]
+    dstates = [p.init_state() for p in denses]
+
+    def dense_block(dstates, lim_state, master):
+        outs, vs = [], []
+        new = []
+        for p, st in zip(denses, dstates):
+            st2, o, v = p.emit(st, T)
+            new.append(st2)
+            outs.append(o)
+            vs.append(v)
+        mix = sum(outs)
+        lim2, out, _v = master.emit(
+            {**lim_state, "in": {"blk": mix, "v": vs[0]}}, T
+        )
+        return new, {**lim2, "in": {}}, out
+
+    from rodio_tpu.parallel.sharding import _BlockFeed
+
+    master = Limit(_BlockFeed(2, 48000), LimitSettings(), mode="exact")
+    lim_state = master.init_state()
+    lim_state = {**lim_state, "in": {}}
+
+    sstate, s1, _ = sharded.emit(sstate, T)
+    dstates, lim_state, d1 = dense_block(dstates, lim_state, master)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(d1), atol=2e-6)
+
+    step = sharded._steps[T]
+    sstate = sharded.retune(sstate, kind="high_pass", freq=900.0, q=0.6)
+    dstates = [p.retune(st, kind="high_pass", freq=900.0, q=0.6)
+               for p, st in zip(denses, dstates)]
+
+    sstate, s2, _ = sharded.emit(sstate, T)
+    dstates, lim_state, d2 = dense_block(dstates, lim_state, master)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(d2), atol=2e-6)
+    assert sharded._steps[T] is step, "retune must not re-trace"
+
+
 def test_sharded_batch_caches_step(mesh):
     from rodio_tpu.parallel.sharding import ShardedBatch
 
