@@ -447,7 +447,11 @@ class FusedWidePipeline(Node):
             bfold=self.bfold, firfold=self.firfold, ufir=self.ufir,
             wsplit=wsplit,
             dt=float_dtype(),
-            coeffs_static=self.coeffs if self.subblk else None,
+            # the subblk boundary responses must derive from the SAME
+            # coefficients the kernel runs (a retune passes the new
+            # ones here — using build-time self.coeffs would silently
+            # correct sub-block boundaries with stale alpha/beta)
+            coeffs_static=tuple(coeffs) if self.subblk else None,
         )
 
     def retune(self, state: State, kind: Optional[str] = None,

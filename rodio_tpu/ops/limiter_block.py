@@ -231,10 +231,16 @@ def limiter_master_pallas(x, integ0, peak0, *, att: float, rel: float,
 
 
 def _bma_kernel(x_ref, v0_ref, relpow_ref, y_ref, out_c_ref,
-                b_scr, c_scr, *, Lc: int, P: int, a: float):
+                b_scr, c_scr, *, Lc: int, P: int):
     """Blocked y_t = max(x_t, a*y' + (1-a)*x_t) values over [Lc, 8, 128]
     (instant-attack/slow-release peak detector — src/source/agc.rs:433-444
-    and the limiter integrator share this form)."""
+    and the limiter integrator share this form).
+
+    The coefficient is DATA: relpow_ref[t] = a^(t+1) in SMEM, so
+    a = relpow_ref[0] and a^Lc = relpow_ref[Lc-1] — live release-time
+    knobs (src/source/agc.rs:302-361) are pure state updates with zero
+    re-trace."""
+    a = relpow_ref[0]
     ca = 1.0 - a
     dt = x_ref.dtype
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -252,7 +258,7 @@ def _bma_kernel(x_ref, v0_ref, relpow_ref, y_ref, out_c_ref,
 
     jax.lax.fori_loop(0, Lc, loop1, (neg, zero))
 
-    A1 = jnp.full((8, 128), a ** Lc, dt)
+    A1 = jnp.full((8, 128), 0.0, dt) + relpow_ref[Lc - 1]  # a^Lc
     B1 = b_scr[Lc - 1]
     C1 = c_scr[Lc - 1]
     k = 1
@@ -282,12 +288,16 @@ def _bma_kernel(x_ref, v0_ref, relpow_ref, y_ref, out_c_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("a", "P", "interpret")
+    jax.jit, static_argnames=("P", "interpret")
 )
-def blocked_max_affine_const(x, v0, *, a: float, P: int = 128,
+def blocked_max_affine_const(x, v0, a, *, P: int = 128,
                              interpret: bool = False):
     """y_t = max(x_t, a*y_{t-1} + (1-a)*x_t) values over x [L, M], L <= 8,
-    M % P == 0, in one kernel with sequential depth M/P + log2(P)."""
+    M % P == 0, in one kernel with sequential depth M/P + log2(P).
+
+    ``a`` may be a TRACED scalar (live release-time knob): the power
+    table a^(t+1) is built with jnp cumulative products (ulp-class vs
+    the former host-f64 table — inside the AGC stage's 2e-5 budget)."""
     L, M = x.shape
     assert L <= 8 and M % P == 0 and P <= 128 and P & (P - 1) == 0
     Lc = M // P
@@ -297,12 +307,11 @@ def blocked_max_affine_const(x, v0, *, a: float, P: int = 128,
         ((0, 0), (0, 8 - L), (0, 128 - P)),
     )
     v = jnp.pad(v0, (0, 8 - L))[:, None]
-    tt = np.arange(1, Lc + 1, dtype=np.float64)
-    relpow = jnp.asarray(np.power(float(a), tt), dt)
+    relpow = jnp.cumprod(jnp.full((Lc,), jnp.asarray(a, dt)))
 
     mem = pltpu.ANY if interpret else pltpu.VMEM
     y3, _ = pl.pallas_call(
-        functools.partial(_bma_kernel, Lc=Lc, P=P, a=a),
+        functools.partial(_bma_kernel, Lc=Lc, P=P),
         in_specs=[
             pl.BlockSpec(memory_space=mem),
             pl.BlockSpec(memory_space=mem),

@@ -130,16 +130,19 @@ def biquad_df1_pallas(x, coeffs, state, *, t_chunk: int = 512,
     return y, new_state
 
 
-def _first_order_kernel(a_ref, b_ref, c_ref, state_ref, y_ref, out_state_ref,
+def _first_order_kernel(a_ref, b_ref, c_ref, p_ref, state_ref, y_ref,
+                        out_state_ref,
                         carry, a_scr, b_scr, c_scr, y_scr,
-                        *, t_chunk: int, op: str, params=(),
+                        *, t_chunk: int, op: str,
                         unroll: int = 1):
     """Generic first-order recurrence over one (lane_group, time_chunk):
     linear:     y = a_t * y_prev + b_t
     max_affine: y = max(a_t, b_t + c_t * y_prev)
     agc_gain:   speed = att if a_t > y_prev else rel;
                 y = clip(y_prev*speed + a_t*(1-speed), 0.1, max_gain)
-                with params = (att, rel, max_gain)  (src/source/agc.rs:486-496)
+                with p_ref = [att, rel, max_gain, 0...] SMEM DATA
+                (src/source/agc.rs:486-496; live knobs re-trace nothing,
+                matching agc.rs:302-361 set_attack/release semantics)
     """
     t_idx = pl.program_id(1)
     n_t = pl.num_programs(1)
@@ -160,7 +163,9 @@ def _first_order_kernel(a_ref, b_ref, c_ref, state_ref, y_ref, out_state_ref,
         elif op == "max_affine":
             y = jnp.maximum(a_scr[t], b_scr[t] + c_scr[t] * y)
         elif op == "agc_gain":
-            att, rel, max_gain = params
+            att = p_ref[0]
+            rel = p_ref[1]
+            max_gain = p_ref[2]
             d = a_scr[t]
             speed = jnp.where(d > y, att, rel)
             y = jnp.clip(y * speed + d * (1.0 - speed), 0.1, max_gain)
@@ -231,9 +236,9 @@ def _limiter_env_kernel(db_ref, state_ref, peak_ref, out_state_ref,
         out_state_ref[...] = carry[2:4].reshape(2, LANES).T
 
 
-def _agc_kernel(x_ref, d_ref, state_ref, gain_ref, out_state_ref,
+def _agc_kernel(x_ref, d_ref, p_ref, state_ref, gain_ref, out_state_ref,
                 carry, x_scr, d_scr, g_scr,
-                *, t_chunk: int, params, t_true: int, unroll: int = 1):
+                *, t_chunk: int, t_true: int, unroll: int = 1):
     """The full AGC sample loop fused (src/source/agc.rs:397-496):
       peak   = max(|x|, rel*peak + (1-rel)*|x|)
       sum    = sum + (sq - old)            [d = sq - old, precomputed]
@@ -241,8 +246,16 @@ def _agc_kernel(x_ref, d_ref, state_ref, gain_ref, out_state_ref,
       des    = clamp(min(target/rms?, min(target/peak?, max)), floor)
       gain   = clip(gain*speed + des*(1-speed), 0.1, max)
     carry: [6, 8, 128] = (peak, sum, gain, saved x3).
+    p_ref: [8] SMEM DATA (att, rel, target, max_gain, floor, 1/WINDOW) —
+    live attack/release knobs are pure state updates, zero re-trace
+    (src/source/agc.rs:302-361).
     """
-    att, rel, target, max_gain, floor, inv_window = params
+    att = p_ref[0]
+    rel = p_ref[1]
+    target = p_ref[2]
+    max_gain = p_ref[3]
+    floor = p_ref[4]
+    inv_window = p_ref[5]
     t_idx = pl.program_id(1)
     n_t = pl.num_programs(1)
 
@@ -302,12 +315,13 @@ def _agc_kernel(x_ref, d_ref, state_ref, gain_ref, out_state_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("t_chunk", "interpret", "params"))
+                   static_argnames=("t_chunk", "interpret"))
 def agc_pallas(xs, delta, peak0, sum0, gain0, *, params,
                t_chunk: int = 256, interpret: bool = False):
     """Fused AGC: xs=|x| [L, M], delta=sq-old [L, M] -> (gain_seq [L, M],
     (peak', sum', gain') carries). params = (att, rel, target, max_gain,
-    floor, 1/WINDOW)."""
+    floor, 1/WINDOW), each possibly TRACED — passed as SMEM data so live
+    attack/release knobs re-trace nothing."""
     L, M = xs.shape
     dt = xs.dtype
     Lp = -(-L // LANES) * LANES
@@ -319,10 +333,14 @@ def agc_pallas(xs, delta, peak0, sum0, gain0, *, params,
         jnp.pad(sum0, (0, Lp - L)),
         jnp.pad(gain0, (0, Lp - L)),
     ], axis=1)
+    pk = jnp.stack(
+        [jnp.asarray(v, dt) for v in params]
+        + [jnp.zeros((), dt)] * (8 - len(params))
+    )
     grid = (Lp // LANES, Mp // t_chunk)
     vm = pltpu.ANY if interpret else pltpu.VMEM
     gain, out_state = pl.pallas_call(
-        functools.partial(_agc_kernel, t_chunk=t_chunk, params=params,
+        functools.partial(_agc_kernel, t_chunk=t_chunk,
                           t_true=M,
                           unroll=1 if interpret else t_chunk),
         grid=grid,
@@ -331,6 +349,7 @@ def agc_pallas(xs, delta, peak0, sum0, gain0, *, params,
                          memory_space=vm),
             pl.BlockSpec((LANES, t_chunk), lambda i, t: (i, t),
                          memory_space=vm),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((LANES, 3), lambda i, t: (i, 0), memory_space=vm),
         ],
         out_specs=(
@@ -349,7 +368,7 @@ def agc_pallas(xs, delta, peak0, sum0, gain0, *, params,
             pltpu.VMEM((t_chunk, 8, 128), dt),
         ],
         interpret=interpret,
-    )(xp, dp, st)
+    )(xp, dp, pk, st)
     return gain[:L, :M], (out_state[:L, 0], out_state[:L, 1],
                           out_state[:L, 2])
 
@@ -399,11 +418,14 @@ def limiter_env_pallas(db, integ0, peak0, *, att: float, rel: float,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("t_chunk", "interpret", "op", "params"))
+                   static_argnames=("t_chunk", "interpret", "op"))
 def first_order_pallas(a, b, init, *, c=None, op: str = "linear",
                        params=(), t_chunk: int = 256,
                        interpret: bool = False):
     """Fused first-order recurrence: a, b, (c): [L, T]; init: [L].
+
+    ``params`` (op="agc_gain": att, rel, max_gain) may be TRACED scalars
+    — they ride SMEM as data, so live knob changes re-trace nothing.
 
     Returns y [L, T] (the recurrence outputs; carry = y[:, -1]).
     Pad-safe: trailing padded steps would corrupt the in-kernel carry, so
@@ -421,6 +443,10 @@ def first_order_pallas(a, b, init, *, c=None, op: str = "linear",
     bp = padded(b)
     cp = padded(c if c is not None else jnp.zeros_like(a))
     st = jnp.pad(init, (0, Lp - L))
+    pk = jnp.stack(
+        [jnp.asarray(v, dt) for v in params]
+        + [jnp.zeros((), dt)] * (4 - len(params))
+    )
 
     grid = (Lp // LANES, Tp // t_chunk)
     spec = pl.BlockSpec((LANES, t_chunk), lambda i, t: (i, t),
@@ -429,10 +455,10 @@ def first_order_pallas(a, b, init, *, c=None, op: str = "linear",
                          memory_space=pltpu.ANY if interpret else pltpu.VMEM)
     y, _ = pl.pallas_call(
         functools.partial(_first_order_kernel, t_chunk=t_chunk, op=op,
-                          params=params,
                           unroll=1 if interpret else t_chunk),
         grid=grid,
-        in_specs=[spec, spec, spec, sspec],
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM), sspec],
         out_specs=(spec, sspec),
         out_shape=(
             jax.ShapeDtypeStruct((Lp, Tp), dt),
@@ -446,5 +472,5 @@ def first_order_pallas(a, b, init, *, c=None, op: str = "linear",
             pltpu.VMEM((t_chunk, 8, 128), dt),
         ],
         interpret=interpret,
-    )(ap, bp, cp, st)
+    )(ap, bp, cp, pk, st)
     return y[:L, :T]
