@@ -124,6 +124,34 @@ def main():
         inkernel_limit=os.environ.get("BENCH_INKERNEL_LIMIT", "0") == "1",
     )
 
+    # resolved kernel configuration (VERDICT r3 weak #1: driver benches
+    # must be self-diagnosing — the probe/auto resolution is content-
+    # and env-dependent, so the JSON line records what actually ran)
+    from rodio_tpu.flagship import FusedWidePipeline
+
+    pipe = node if isinstance(node, FusedWidePipeline) else getattr(
+        node, "input", None
+    )
+    if isinstance(pipe, FusedWidePipeline):
+        config = {
+            "kernel": "fused",
+            "precision": pipe.precision,
+            "m": pipe.m,
+            "lookahead": pipe.lookahead,
+            "dma_depth": pipe.dma_depth,
+            "gain_post": bool(pipe.gain_post),
+            "agc": ("group%d" % pipe._agc_group if pipe.with_agc
+                    and pipe._agc_group else
+                    ("exact+%s_ring" % pipe._agc_ring if pipe.with_agc
+                     else "off")),
+            "T": T,
+            "blocks": n_blocks,
+            "source": "music.wav" if pcm is not None else "noise",
+        }
+    else:
+        config = {"kernel": scan_mode, "T": T, "blocks": n_blocks,
+                  "source": "music.wav" if pcm is not None else "noise"}
+
     t_a, e_a, v_a = _run_scan(node, state, T, n_blocks, r1)
     t_b, e_b, v_b = _run_scan(node, state, T, n_blocks, r2)
 
@@ -145,6 +173,8 @@ def main():
         "value": round(realtime_multiple, 1),
         "unit": "x realtime (aggregate)",
         "vs_baseline": round(realtime_multiple / 1000.0, 3),
+        "config": config,
+        "per_block_us": round(per_block * 1e6, 2),
     }
 
     # on-hardware parity gate (VERDICT r2 #6): every driver bench also

@@ -303,6 +303,18 @@ class Player:
             for k in ("volume", "paused", "stopped"):
                 if k in old_state and k in new_state:
                     new_state[k] = old_state[k]
+        if isinstance(new_state, dict) and "frames" in new_state:
+            # get_pos reports the SEEK TARGET going forward — the
+            # reference's TrackPosition::try_seek sets offset_duration
+            # to pos and resets the span counter
+            # (src/source/position.rs:136-141); the rebuilt state's
+            # counter otherwise holds the pre-roll replay count.
+            rate = node.spec.sample_rate
+            target = int(pos * rate)
+            total = node.total_frames()
+            if total is not None:
+                target = min(target, total)
+            new_state["frames"] = jnp.asarray(max(target, 0), jnp.int32)
         cur["state"] = new_state
         cur["leftover"] = None
         cur["ended"] = False

@@ -241,9 +241,12 @@ def _render_farm(cfg, pcm, gains, fused):
     pos = 0
     outs = []
     for blk in range(cfg.blocks):
+        # the prime push consumes (Kp+1)*fr frames (chunks 0..Kp-1 plus
+        # the first carry frame); every steady push then supplies the
+        # NEXT Kp*fr frames — the carry already holds the boundary frame
         need = (Kp + 1) * fr if blk == 0 else Kp * fr
         block = pcm[:, pos : pos + need]
-        pos += need if blk > 0 else Kp * fr
+        pos += need
         st = {**st, "in": feed.push(st["in"], block, prime=(blk == 0))}
         if cfg.retune_at == blk:
             st = farm.retune(st, freq=cfg.freq * 0.5)
@@ -315,6 +318,12 @@ def _tolerance(cfg):
         # test_fuzz_differential uses 2e-5 for biquad chains; the TPU
         # render is bit-exact, PARITY_TPU.md config2)
         tol = max(tol, 1e-5)
+    # narrow-band stiffness: a low-cutoff biquad's pole sits near the
+    # unit circle, so per-step ulp reassociation (look-ahead rows vs the
+    # sequential scan) integrates with gain ~ fs/fc (fuzz seeds 20/23:
+    # ~2e-6 at fc ~ 200-300 Hz)
+    f_min = cfg.freq * (0.5 if cfg.retune_at is not None else 1.0)
+    tol *= max(1.0, 0.1 * cfg.out_rate / f_min)
     return ("abs", tol)
 
 
