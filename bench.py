@@ -120,6 +120,7 @@ def main():
         firfold=os.environ.get("BENCH_FIRFOLD", "auto"),
         agc_ring=os.environ.get("BENCH_AGC_RING", "bf16"),
         agc_group=int(os.environ.get("BENCH_AGC_GROUP", "0")),
+        agc_plan=os.environ.get("BENCH_AGC_PLAN", "auto"),
         m=m, dma_depth=dma_depth,
         inkernel_limit=os.environ.get("BENCH_INKERNEL_LIMIT", "0") == "1",
     )
@@ -142,8 +143,9 @@ def main():
             "gain_post": bool(pipe.gain_post),
             "agc": ("group%d" % pipe._agc_group if pipe.with_agc
                     and pipe._agc_group else
-                    ("exact+%s_ring" % pipe._agc_ring if pipe.with_agc
-                     else "off")),
+                    ("%s+%s_ring" % (
+                        "rel0" if pipe._agc_rel0 else "serial",
+                        pipe._agc_ring) if pipe.with_agc else "off")),
             "T": T,
             "blocks": n_blocks,
             "source": "music.wav" if pcm is not None else "noise",

@@ -169,6 +169,33 @@ def main():
                                 dma_depth=3)),
         ("u4-ufir-g16", dict(firfold=False, lookahead=-4, ufir=True,
                              agc_group=16, _T=4800)),
+        # rel0 AGC plan (EXACT for the default release_time=0: peak
+        # detector memoryless, smoother as clamped-min) vs the 3-chain
+        # serial plan — AB_AGC=1 (round-4, VERDICT r3 ask #4)
+        ("u4-agc-serial", dict(firfold=False, lookahead=-4,
+                               agc_plan="serial")),
+        ("u4-agc-rel0", dict(firfold=False, lookahead=-4,
+                             agc_plan="rel0")),
+        ("la4-agc-serial", dict(firfold=False, lookahead=4,
+                                agc_plan="serial")),
+        ("la4-agc-rel0", dict(firfold=False, lookahead=4,
+                              agc_plan="rel0")),
+        ("u4-int2m3-rel0", dict(firfold=False, lookahead=-4,
+                                precision="int2", m=3, _T=4800,
+                                dma_depth=3, agc_plan="rel0")),
+        # 44.1k -> 192k upsample ladder (to=640 wsplit, m=1; the 84,141x
+        # round-2 row predates the unrolled serial loop — VERDICT r3 #9)
+        ("192k-la4", dict(firfold=False, lookahead=4, _out=192000,
+                          _T=5120)),
+        ("192k-u4", dict(firfold=False, lookahead=-4, _out=192000,
+                         _T=5120)),
+        ("192k-u8", dict(firfold=False, lookahead=-8, _out=192000,
+                         _T=5120)),
+        ("192k-u16", dict(firfold=False, lookahead=-16, _out=192000,
+                          _T=5120)),
+        # unfused-chain block-dtype A/B (bf16 stage boundaries)
+        ("pallas-f32", dict(_scan="pallas", _T=4096)),
+        ("pallas-bf16", dict(_scan="pallas", _T=4096, block_bf16=True)),
     ]
     only = os.environ.get("AB_ONLY")
     variants = [(n, k) for n, k in catalog
@@ -179,10 +206,13 @@ def main():
         unwrap = kw.pop("_unwrap", False)
         T_v = kw.pop("_T", T)
         mb = kw.pop("_MB", None)
+        out_rate = kw.pop("_out", 48000)
+        scan = kw.pop("_scan", "fused")
         if mb is not None:
             kw["max_block"] = mb
         node, state = make_flagship(
-            n_streams, seconds=seconds, scan_mode="fused",
+            n_streams, seconds=seconds, scan_mode=scan,
+            out_rate=out_rate,
             source_pcm=pcm, with_agc=with_agc, **kw,
         )
         if unwrap:
@@ -195,12 +225,12 @@ def main():
         float(e)
         e, v = rb()
         float(e)
-        runs.append((name, T_v, ra, rb))
+        runs.append((name, T_v, node.spec.sample_rate, ra, rb))
         print(f"# built {name}", file=sys.stderr, flush=True)
 
     best = {name: [float("inf"), float("inf")] for name, *_ in runs}
     for _ in range(rounds):
-        for name, T_v, ra, rb in runs:
+        for name, T_v, _rate, ra, rb in runs:
             t0 = time.perf_counter()
             e, v = ra()
             float(e), float(v)
@@ -210,10 +240,10 @@ def main():
             float(e), float(v)
             best[name][1] = min(best[name][1], time.perf_counter() - t0)
 
-    for name, T_v, ra, rb in runs:
+    for name, T_v, rate, ra, rb in runs:
         ta, tb = best[name]
         per = (tb - ta) / ((r2 - r1) * n_blocks)
-        agg = (n_streams * T_v / 48000.0) / per
+        agg = (n_streams * T_v / rate) / per
         print(json.dumps({
             "variant": name + ("+agc" if with_agc else ""),
             "us_per_block": round(per * 1e6, 2),

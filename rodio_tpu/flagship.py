@@ -99,6 +99,7 @@ class FusedWidePipeline(Node):
                  gain_post="auto",
                  with_agc: bool = False, agc_settings=None,
                  agc_ring: str = "bf16", agc_group: int = 0,
+                 agc_plan: str = "auto",
                  dma_depth: int = 4, master_limit=None):
         assert getattr(input_node, "RANDOM_ACCESS", False) and hasattr(
             input_node, "slice_frames"
@@ -281,6 +282,22 @@ class FusedWidePipeline(Node):
                     f"agc_group {agc_group} must be >= 2 and divide both "
                     f"m*to = {mto_} and the RMS lag {self._lag}"
                 )
+            # agc_plan: "rel0" (OPT-IN) is the EXACT structural plan
+            # for release_time = 0 (coefficient exactly 0.0, the
+            # default settings): the peak detector is memoryless and
+            # the smoother collapses to a clamped-min form, dropping
+            # two of the three serial chains (ops/fused.py rel0
+            # branch). STATIC — the kernel plan is baked at trace time
+            # (a cached outer jit would never see a host-side flip), so
+            # "auto" keeps the serial plan, which serves EVERY live
+            # knob; rel0 pipelines raise on set_agc_params(release!=0).
+            assert agc_plan in ("auto", "rel0", "serial")
+            if agc_plan == "rel0":
+                assert self._agc_params[1] == 0.0 and not agc_group, (
+                    "agc_plan='rel0' requires release_time=0 and no "
+                    "group mode"
+                )
+            self._agc_rel0 = agc_plan == "rel0"
             half = LANES // 2
             # lane permutation: new lane l = c*half + s <- old row s*C + c;
             # unused stream slots point at a zero row of the padded data
@@ -489,6 +506,18 @@ class FusedWidePipeline(Node):
         if release is not None:
             ns = min(duration_to_nanos(release), 10_000_000_000)
             rel = float(duration_to_coefficient(0, rate, nanos=ns))
+            if rel != 0.0 and getattr(self, "_agc_rel0", False):
+                # the rel0 structural plan is only valid at release
+                # coefficient exactly 0, and the plan is baked into
+                # every already-compiled step (a host-side flip would
+                # be silently ignored by cached outer jits) — fail
+                # loudly; live nonzero release needs the default
+                # serial plan.
+                raise ValueError(
+                    "this pipeline was built with agc_plan='rel0' "
+                    "(release_time=0); live nonzero release requires "
+                    "the default serial plan"
+                )
         if target_level is not None:
             tgt = float(np.float32(target_level))
         if absolute_max_gain is not None:
@@ -544,6 +573,7 @@ class FusedWidePipeline(Node):
                 limiter=self._limiter,
                 lim_state=state.get("lim"),
                 agc_group=self._agc_group,
+                agc_rel0=self._agc_rel0,
                 dma_depth=self.dma_depth,
                 interpret=interpret,
             )
@@ -849,8 +879,10 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
                   max_block: int = 8192, lookahead="auto",
                   precision: str = "auto", firfold="auto",
                   ufir: bool = False, gain_post="auto",
-                  agc_ring: str = "bf16", agc_group: int = 0, m="auto",
-                  dma_depth="auto", inkernel_limit: bool = False):
+                  agc_ring: str = "bf16", agc_group: int = 0,
+                  agc_plan: str = "auto", m="auto",
+                  dma_depth="auto", inkernel_limit: bool = False,
+                  block_bf16: bool = False):
     """Build (master_node, state) for the flagship pipeline.
 
     ``source_pcm``: optional [channels, frames] PCM at in_rate shared as the
@@ -887,8 +919,8 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
             chain, out_rate, gains, n_streams, "low_pass", 2000.0, 0.5,
             with_agc=with_agc, lookahead=lookahead, precision=precision,
             firfold=firfold, ufir=ufir, gain_post=gain_post,
-            agc_ring=agc_ring, agc_group=agc_group, m=m,
-            dma_depth=dma_depth,
+            agc_ring=agc_ring, agc_group=agc_group, agc_plan=agc_plan,
+            m=m, dma_depth=dma_depth,
             master_limit=LimitSettings() if inkernel_limit else None,
         )
         if inkernel_limit:
@@ -904,6 +936,14 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
         master = Limit(fused, LimitSettings(), mode="auto")
         return master, master.init_state()
     chain = Resample(chain, out_rate, max_block=max_block)
+    if block_bf16:
+        # opt-in bf16 block contract (conversions/blockdtype.py): the
+        # resampler's [S*C, T] output materializes at half width (cast
+        # fused into the matmul epilogue); the biquad kernel upcasts on
+        # load and stores bf16 back — both big HBM round-trips halve
+        from .conversions.blockdtype import Bf16Boundary
+
+        chain = Bf16Boundary(chain)
     chain = BltFilter(chain, "low_pass", 2000.0, 0.5, mode=scan_mode)
     if with_agc:
         from .effects.agc import AgcSettings, AutomaticGainControl

@@ -145,6 +145,7 @@ def _fused_agc_kernel(c0_ref, k0_ref, agcp_ref, c_ref, chunks_ref, xn_ref,
                       firfold: bool = False, ufir: bool = False,
                       ring_chunks: int = 0,
                       limiter: tuple = None, agc_group: int = 0,
+                      agc_rel0: bool = False,
                       nslot: int = 3):
     """AGC-bearing variant: adds the per-stream AGC stage between the
     biquad and the mix (src/source/agc.rs:397-496, decomposed form), with
@@ -167,6 +168,7 @@ def _fused_agc_kernel(c0_ref, k0_ref, agcp_ref, c_ref, chunks_ref, xn_ref,
                 out_agc_ref=out_agc_ref, agc_carry=agc_carry,
                 old_scr=old_scr, sq_scr=sq_scr, rsems=rsems, wsems=wsems,
                 rs_slots=rs_slots, lag=lag, agc_group=agc_group,
+                agc_rel0=agc_rel0,
                 nslot=nslot,
                 limiter=limiter, lim_ref=lim_ref,
                 out_lim_ref=out_lim_ref, limc=limc)
@@ -188,6 +190,7 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 ab_ref=None, corr_scr=None,
                 agc=None, agcp_ref=None, k0_ref=None, agc_ref=None,
                 ring_ref=None, agc_group: int = 0,
+                agc_rel0: bool = False,
                 out_agc_ref=None, agc_carry=None, old_scr=None,
                 sq_scr=None, rsems=None, wsems=None,
                 rs_slots: int = 0, lag: int = 0, nslot: int = 3):
@@ -765,60 +768,121 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
               sqf = sqv
           x_scr[...] = sqf - old_scr[...].astype(dtv)
 
-          # serial stage (agc.rs:397-496): running-sum + peak chains with
-          # the desired-gain computer hoisted per AW-group, then the
-          # data-dependent gain smoother. (A fully vectorized des phase
-          # with per-sub-step rs/pk scratches was measured SLOWER: its
-          # VMEM forced the chunk-DMA pipeline to 2-deep, losing more to
-          # DMA serialization than the half-vreg des ops cost.)
-          crel = 1.0 - rel
+          if agc_rel0:
+            # rel == 0 STRUCTURAL PLAN (the default AgcSettings has
+            # release_time = 0, agc.rs:78, whose duration_to_coefficient
+            # is exactly 0.0): two of the three serial chains vanish —
+            #   peak:  pk' = max(xs, 0*pk + 1*xs) = xs  (memoryless);
+            #   gain:  g' = clamp(min(d, att*g + (1-att)*d), 0.1, mg)
+            #          — for d > g the affine term is <= d so min takes
+            #          the att branch; for d < g it exceeds d so min
+            #          takes d (the rel=0 branch); ties land within
+            #          1 ulp of the reference's branch form. The upper
+            #          clamp provably never binds (d <= mg and the
+            #          affine mix of g, d <= mg stays <= mg).
+            # Only the window sum (1 add/row) and the smoother stay
+            # serial, and the desired-gain computer runs FULL-WIDTH per
+            # row: the lo half carries the ch0 sub-step, the hi half
+            # the ch1 sub-step — one rsqrt/div pass covers both phases.
+            # stage A': repack d rows as (d0 | d0+d1) halves so one
+            # vreg add yields both interleaved window sums
+            dv = x_scr[...]
+            dlo_all = dv[:, 0:4]
+            x_scr[...] = jnp.concatenate(
+                [dlo_all, dlo_all + dv[:, 4:8]], axis=1
+            )
+            catt = 1.0 - att
 
-          def agc_loop(i, carrs):
-              rs, pk, g = carrs
-              t0 = i * AW
-              vals = []
-              for j in range(AW):
-                  d = x_scr[t0 + j]
-                  y = y_scr[t0 + j]
-                  for c in (0, 1):
-                      xs = jnp.abs(y[4 * c : 4 * c + 4])
-                      rs = rs + d[4 * c : 4 * c + 4]
-                      pk = jnp.maximum(xs, rel * pk + crel * xs)
-                      vals.append((rs, pk))
-              des = []
-              for rs_i, pk_i in vals:
-                  rg = jnp.where(
-                      rs_i > 0.0, target * jax.lax.rsqrt(rs_i * invw), mg
-                  )
-                  pg = jnp.where(
-                      pk_i > 0.0, jnp.minimum(target / pk_i, mg), mg
-                  )
-                  des.append(jnp.maximum(jnp.minimum(rg, pg), floor_))
-              for j in range(AW):
-                  y = y_scr[t0 + j]
-                  for c in (0, 1):
-                      dd = des[2 * j + c]
-                      speed = jnp.where(dd > g, att, rel)
-                      g = g * speed + dd * (1.0 - speed)
-                      g = jnp.clip(g, 0.1, mg)
-                      y_scr[t0 + j, 4 * c : 4 * c + 4] = (
-                          y[4 * c : 4 * c + 4] * g
-                      )
-              return (rs, pk, g)
+            def rel0_loop(t, carrs):
+                rs2, g = carrs
+                rsv = rs2 + x_scr[t]       # (rs@ch0 | rs@ch1)
+                y = y_scr[t]
+                ay = jnp.abs(y)
+                rg = jnp.where(
+                    rsv > 0.0, target * jax.lax.rsqrt(rsv * invw), mg
+                )
+                pg = jnp.where(
+                    ay > 0.0, jnp.minimum(target / ay, mg), mg
+                )
+                des = jnp.maximum(jnp.minimum(rg, pg), floor_)
+                dlo = des[0:4]
+                g = jnp.maximum(0.1, jnp.minimum(dlo, att * g + catt * dlo))
+                glo = g
+                dhi = des[4:8]
+                g = jnp.maximum(0.1, jnp.minimum(dhi, att * g + catt * dhi))
+                y_scr[t] = y * jnp.concatenate([glo, g], axis=0)
+                hi = rsv[4:8]
+                return (jnp.concatenate([hi, hi], axis=0), g)
 
-          if unroll:
-              acc_a = (agc_carry[0:4], agc_carry[4:8], agc_carry[8:12])
-              for _i in range(mto // AW):
-                  acc_a = agc_loop(_i, acc_a)
-              rs, pk, g = acc_a
+            rs0 = jnp.concatenate([agc_carry[0:4], agc_carry[0:4]], axis=0)
+            if unroll:
+                acc_r = (rs0, agc_carry[8:12])
+                for _t in range(mto):
+                    acc_r = rel0_loop(_t, acc_r)
+                rs2, g = acc_r
+            else:
+                rs2, g = jax.lax.fori_loop(
+                    0, mto, rel0_loop, (rs0, agc_carry[8:12])
+                )
+            agc_carry[0:4] = rs2[0:4]
+            # peak rows 4:8 stay untouched (memoryless at rel = 0)
+            agc_carry[8:12] = g
           else:
-              rs, pk, g = jax.lax.fori_loop(
-                  0, mto // AW, agc_loop,
-                  (agc_carry[0:4], agc_carry[4:8], agc_carry[8:12]),
-              )
-          agc_carry[0:4] = rs
-          agc_carry[4:8] = pk
-          agc_carry[8:12] = g
+            # serial stage (agc.rs:397-496): running-sum + peak chains
+            # with the desired-gain computer hoisted per AW-group, then
+            # the data-dependent gain smoother. (A fully vectorized des
+            # phase with per-sub-step rs/pk scratches was measured
+            # SLOWER: its VMEM forced the chunk-DMA pipeline to 2-deep,
+            # losing more to DMA serialization than the half-vreg des
+            # ops cost.)
+            crel = 1.0 - rel
+
+            def agc_loop(i, carrs):
+                rs, pk, g = carrs
+                t0 = i * AW
+                vals = []
+                for j in range(AW):
+                    d = x_scr[t0 + j]
+                    y = y_scr[t0 + j]
+                    for c in (0, 1):
+                        xs = jnp.abs(y[4 * c : 4 * c + 4])
+                        rs = rs + d[4 * c : 4 * c + 4]
+                        pk = jnp.maximum(xs, rel * pk + crel * xs)
+                        vals.append((rs, pk))
+                des = []
+                for rs_i, pk_i in vals:
+                    rg = jnp.where(
+                        rs_i > 0.0, target * jax.lax.rsqrt(rs_i * invw), mg
+                    )
+                    pg = jnp.where(
+                        pk_i > 0.0, jnp.minimum(target / pk_i, mg), mg
+                    )
+                    des.append(jnp.maximum(jnp.minimum(rg, pg), floor_))
+                for j in range(AW):
+                    y = y_scr[t0 + j]
+                    for c in (0, 1):
+                        dd = des[2 * j + c]
+                        speed = jnp.where(dd > g, att, rel)
+                        g = g * speed + dd * (1.0 - speed)
+                        g = jnp.clip(g, 0.1, mg)
+                        y_scr[t0 + j, 4 * c : 4 * c + 4] = (
+                            y[4 * c : 4 * c + 4] * g
+                        )
+                return (rs, pk, g)
+
+            if unroll:
+                acc_a = (agc_carry[0:4], agc_carry[4:8], agc_carry[8:12])
+                for _i in range(mto // AW):
+                    acc_a = agc_loop(_i, acc_a)
+                rs, pk, g = acc_a
+            else:
+                rs, pk, g = jax.lax.fori_loop(
+                    0, mto // AW, agc_loop,
+                    (agc_carry[0:4], agc_carry[4:8], agc_carry[8:12]),
+                )
+            agc_carry[0:4] = rs
+            agc_carry[4:8] = pk
+            agc_carry[8:12] = g
 
         # publish this step's squares into the ring
         wcp = pltpu.make_async_copy(
@@ -1453,7 +1517,7 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
     jax.jit,
     static_argnames=("fr", "to", "m", "interpret", "precision", "lookahead",
                      "lag", "bfold", "firfold", "ufir", "ring_chunks",
-                     "limiter", "agc_group", "dma_depth"),
+                     "limiter", "agc_group", "agc_rel0", "dma_depth"),
     donate_argnames=("ring",),
 )
 def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
@@ -1471,6 +1535,7 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
                                   limiter: tuple = None,
                                   lim_state=None,
                                   agc_group: int = 0,
+                                  agc_rel0: bool = False,
                                   dma_depth: int = 4,
                                   interpret: bool = False):
     """AGC-bearing fused pipeline (see _fused_agc_kernel).
@@ -1494,6 +1559,9 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
     n_t = P["n_t"]
     dt = P["dt"]
     mto = m * to
+    assert not (agc_rel0 and agc_group), (
+        "agc_rel0 is the EXACT rel=0 plan; group mode has its own branch"
+    )
     if agc_group:
         assert agc_group >= 2, "agc_group must be >= 2 (or 0 = exact)"
         assert mto % agc_group == 0, (
@@ -1542,7 +1610,7 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
             rs_slots=rs_slots, lag=lag, bfold=P["bfold"],
             wsplit=P["wsplit"], firfold=firfold, ufir=ufir,
             ring_chunks=ring_chunks, limiter=limiter,
-            agc_group=agc_group, nslot=dma_depth,
+            agc_group=agc_group, agc_rel0=agc_rel0, nslot=dma_depth,
         ),
         grid=(n_t,),
         in_specs=in_specs,

@@ -51,8 +51,10 @@ def _biquad_kernel(x_ref, c_ref, state_ref, y_ref, out_state_ref,
     def _load_state():
         carry[...] = state_ref[...].T.reshape(4, 8, 128)
 
-    # stage this chunk time-major
-    x_scr[...] = x_ref[...].T.reshape(t_chunk, 8, 128)
+    # stage this chunk time-major; a bf16 block (the opt-in block-dtype
+    # contract, conversions/blockdtype.py) upcasts ON LOAD — the
+    # recurrence always runs f32
+    x_scr[...] = x_ref[...].T.reshape(t_chunk, 8, 128).astype(x_scr.dtype)
 
     def step(t, acc):
         x1, x2, y1, y2 = acc
@@ -65,7 +67,7 @@ def _biquad_kernel(x_ref, c_ref, state_ref, y_ref, out_state_ref,
     x1, x2, y1, y2 = jax.lax.fori_loop(0, t_chunk, step, init,
                                        unroll=unroll)
 
-    y_ref[...] = y_scr[...].reshape(t_chunk, LANES).T
+    y_ref[...] = y_scr[...].reshape(t_chunk, LANES).T.astype(y_ref.dtype)
     carry[0] = x1
     carry[1] = x2
     carry[2] = y1
@@ -83,9 +85,16 @@ def biquad_df1_pallas(x, coeffs, state, *, t_chunk: int = 512,
 
     coeffs: (b0, b1, b2, a1, a2) scalars. state: (x1, x2, y1, y2) each [L].
     L is padded to a multiple of 1024 lanes; T to a multiple of t_chunk.
+
+    bf16 blocks (the opt-in block-dtype contract): x may be bfloat16 —
+    the kernel upcasts on load, runs the recurrence in the STATE dtype
+    (f32), and stores y back at the block dtype, so the [L, T] HBM
+    round-trips run at half width while the feedback stays full
+    precision.
     """
     L, T = x.shape
-    dt = x.dtype
+    blk_dt = x.dtype
+    dt = state[0].dtype
     Lp = -(-L // LANES) * LANES
     Tp = -(-T // t_chunk) * t_chunk
     xp = jnp.pad(x, ((0, Lp - L), (0, Tp - T)))
@@ -110,7 +119,7 @@ def biquad_df1_pallas(x, coeffs, state, *, t_chunk: int = 512,
                          memory_space=pltpu.ANY if interpret else pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Lp, Tp), dt),
+            jax.ShapeDtypeStruct((Lp, Tp), blk_dt),
             jax.ShapeDtypeStruct((Lp, 4), dt),
         ),
         scratch_shapes=[
@@ -123,8 +132,10 @@ def biquad_df1_pallas(x, coeffs, state, *, t_chunk: int = 512,
     y = y[:L, :T]
     if T >= 2:
         # DF1 carry == the last two unpadded inputs/outputs (avoids the
-        # padded tail steps advancing the in-kernel carry)
-        new_state = (x[:, -1], x[:, -2], y[:, -1], y[:, -2])
+        # padded tail steps advancing the in-kernel carry; carries stay
+        # in the state dtype even for bf16 blocks)
+        new_state = (x[:, -1].astype(dt), x[:, -2].astype(dt),
+                     y[:, -1].astype(dt), y[:, -2].astype(dt))
     else:
         new_state = tuple(out_state[:L, i] for i in range(4))
     return y, new_state

@@ -107,7 +107,13 @@ class WideMixer(Node):
     def emit(self, state: State, n: int):
         s, block, valid = self.input.emit(state, n)
         c = self.spec.channels
-        mixed = block.reshape(self.n_streams, c, n).sum(axis=0)
+        # accumulate the stream sum in the engine dtype: a bf16 block
+        # (conversions/blockdtype.py contract) is READ at half width but
+        # never summed at bf16 precision (512-way accumulation would
+        # lose ~2^-9 * sqrt(S) otherwise)
+        mixed = block.astype(float_dtype()).reshape(
+            self.n_streams, c, n
+        ).sum(axis=0)
         return s, mixed, valid
 
 

@@ -679,3 +679,35 @@ def test_block_size_invariance(rng, blocks):
     out2 = np.asarray(render(chain(), block_frames=b2))
     assert out1.shape == out2.shape
     np.testing.assert_array_equal(out1, out2)
+
+
+def test_bf16_block_mode(rng):
+    """The opt-in bf16 block-dtype contract (conversions/blockdtype.py):
+    the unfused wide chain with bf16 stage boundaries tracks the f32
+    render within the documented bound (~2^-9 relative per boundary;
+    a resonant biquad can integrate it to ~1e-2), with compute and
+    carries staying f32 (the mixer's 512-way sum accumulates f32)."""
+    import jax
+
+    from rodio_tpu.flagship import make_flagship
+
+    outs = {}
+    for bf16 in (False, True):
+        node, state = make_flagship(
+            16, seconds=0.6, seed=4, scan_mode="pallas",
+            max_block=1024, block_bf16=bf16,
+        )
+        step = jax.jit(lambda s, node=node: node.emit(s, 512))
+        acc = []
+        for _ in range(4):
+            state, out, v = step(state)
+            assert int(v) == 512
+            acc.append(np.asarray(out, np.float32))
+        outs[bf16] = np.concatenate(acc, axis=1)
+    ref = outs[False]
+    err = np.abs(outs[True] - ref).max() / max(np.abs(ref).max(), 1e-9)
+    # documented contract bound: ~1e-3-class quantization, biquad-
+    # integrated worst case pinned at 1e-2 relative
+    assert err < 1e-2, f"bf16 block mode deviates {err:.3g}"
+    # and it must not be trivially identical (the boundary is real)
+    assert err > 1e-6

@@ -507,23 +507,95 @@ def test_fused_live_retune_zero_retrace(rng):
 
 def test_fused_agc_live_params_zero_retrace(rng):
     """AGC knobs are SMEM data on the fused path: set_agc_params applies
-    next block with no re-trace (src/source/agc.rs set_attack_time)."""
+    next block with no re-trace (src/source/agc.rs set_attack_time).
+    The default (auto = serial) plan serves EVERY live knob; the opt-in
+    rel0 plan rejects a live nonzero release loudly (the static kernel
+    plan is baked into cached outer jits — see flagship.agc_plan)."""
     node_f, sf = make_flagship(4, seconds=0.5, seed=9, scan_mode="fused",
                                with_agc=True)
     fused = _pipe(node_f)
+    assert not fused._agc_rel0  # auto keeps the full-knob serial plan
     ef = jax.jit(lambda s: node_f.emit(s, 640))
     sf, o1, v1 = ef(sf)
+    before = ef._cache_size()
 
-    from rodio_tpu.ops.fused import fused_resample_biquad_agc_mix
-
-    before = fused_resample_biquad_agc_mix._cache_size()
     ps = _find_sub(sf, "agc_par")
     ps.update(fused.set_agc_params(ps, attack=0.1, release=0.05))
     sf, o2, v2 = ef(sf)
-    after = fused_resample_biquad_agc_mix._cache_size()
     assert int(v2) == 640
-    if before is not None and after is not None:
-        assert after == before, "live AGC knobs must not re-trace"
+    assert ef._cache_size() == before, "live AGC knobs must not re-trace"
+
+    # opt-in rel0 plan: attack is free, nonzero release raises
+    node_r, sr = make_flagship(4, seconds=0.5, seed=9, scan_mode="fused",
+                               with_agc=True, agc_plan="rel0")
+    fused_r = _pipe(node_r)
+    er = jax.jit(lambda s: node_r.emit(s, 640))
+    sr, _, vr = er(sr)
+    b2 = er._cache_size()
+    pr = _find_sub(sr, "agc_par")
+    pr.update(fused_r.set_agc_params(pr, attack=0.1))
+    sr, _, vr = er(sr)
+    assert int(vr) == 640 and er._cache_size() == b2
+    pr = _find_sub(sr, "agc_par")
+    with pytest.raises(ValueError, match="rel0"):
+        fused_r.set_agc_params(pr, release=0.05)
+    # release=0 stays legal on the rel0 plan
+    pr.update(fused_r.set_agc_params(pr, release=0.0))
+
+
+def test_fused_agc_rel0_matches_serial_plan(rng):
+    """The rel0 structural plan (round-4: memoryless peak + clamped-min
+    smoother at release coefficient exactly 0) vs the 3-chain serial
+    plan on the SAME pipeline: identical semantics up to 1-ulp smoother
+    ties (ops/fused.py rel0 note)."""
+    S = 8
+    node_a, sa = make_flagship(S, seconds=2.0, seed=3, scan_mode="fused",
+                               with_agc=True, agc_plan="rel0",
+                               max_block=1920)
+    node_b, sb = make_flagship(S, seconds=2.0, seed=3, scan_mode="fused",
+                               with_agc=True, agc_plan="serial",
+                               max_block=1920)
+    ea = jax.jit(lambda s: node_a.emit(s, 640))
+    eb = jax.jit(lambda s: node_b.emit(s, 640))
+    # through the 4096-frame RMS window wraparound
+    for blk in range(9):
+        sa, oa, va = ea(sa)
+        sb, ob, vb = eb(sb)
+        assert int(va) == int(vb) == 640
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob),
+                                   atol=5e-7, err_msg=f"block {blk}")
+
+
+def test_fused_agc_serial_plan_nonzero_release(rng):
+    """Nonzero release_time keeps the serial plan (auto) and matches the
+    unfused exact chain — the regime the rel0 plan cannot serve."""
+    from rodio_tpu.effects.agc import AgcSettings, AutomaticGainControl
+
+    S = 8
+    st_ = AgcSettings(release_time=0.02)
+
+    rng2 = np.random.default_rng(17)
+    wide = (rng2.standard_normal((S * 2, 44100)) * 0.1).astype(np.float32)
+    gains = rng2.uniform(0.5, 1.5, S).astype(np.float32) / S
+    fused = FusedWidePipeline(
+        SamplesBuffer(S * 2, 44100, wide), 48000, gains, S,
+        with_agc=True, agc_settings=st_,
+    )
+    assert not fused._agc_rel0  # auto resolves to the serial plan
+    ch = Resample(SamplesBuffer(S * 2, 44100, wide), 48000)
+    ch = BltFilter(ch, "low_pass", 2000.0, 0.5, mode="exact")
+    ch = AutomaticGainControl(ch, st_, mode="exact", streams=S)
+    ch = Amplify(ch, np.repeat(gains, 2))
+    ch = WideMixer(ch, S)
+    sf, su = fused.init_state(), ch.init_state()
+    ef = jax.jit(lambda s: fused.emit(s, 640))
+    eu = jax.jit(lambda s: ch.emit(s, 640))
+    for blk in range(9):
+        sf, of, vf = ef(sf)
+        su, ou, vu = eu(su)
+        assert int(vf) == int(vu) == 640
+        np.testing.assert_allclose(np.asarray(of), np.asarray(ou),
+                                   atol=5e-7, err_msg=f"block {blk}")
 
 
 def test_fused_agc_group_tracks_exact(rng):
