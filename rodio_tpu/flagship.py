@@ -72,6 +72,22 @@ def _two_piece_exact(data) -> bool:
     return bool(jnp.all(r == p2))
 
 
+def _int16_grid_exact(data) -> bool:
+    """True iff every sample of ``data`` lies EXACTLY on the 16-bit PCM
+    grid (x = k / 2^15 with k an int16) — true by construction for all
+    content decoded from 16-bit sources. Such content rides the "i8"
+    byte-piece chunk layout LOSSLESSLY at HALF the int2 chunk traffic
+    (2 B/sample): hi/lo bytes as int8 pieces, reconstructed exactly by
+    the kernel's single dot (ops/fused.py build_fused_operator).
+
+    One device pass at pipeline-build time (never per block)."""
+    if data is None:
+        return False
+    s = data * 32768.0  # exact: a pure exponent shift in f32
+    k = jnp.rint(s)
+    return bool(jnp.all((s == k) & (k >= -32768.0) & (k <= 32767.0)))
+
+
 class FusedWidePipeline(Node):
     """Resample + biquad + gain + stream-mix as ONE Pallas mega-kernel.
 
@@ -141,11 +157,24 @@ class FusedWidePipeline(Node):
             # path switches the fold to the in-kernel gain_post multiply.
             precision = "int3" if self.to <= 1024 else "highest"
             if (precision == "int3" and firfold is not True
-                    and (with_agc or gain_post is not False)
-                    and _two_piece_exact(
-                        getattr(input_node, "_data", None))):
-                precision = "int2"
-                self.gain_post = not with_agc
+                    and (with_agc or gain_post is not False)):
+                data = getattr(input_node, "_data", None)
+                if _int16_grid_exact(data):
+                    # 16-bit-grid content: int8 BYTE pieces — lossless
+                    # at half int2's chunk DMA traffic (1/3 of int3's)
+                    precision = "i8"
+                    self.gain_post = not with_agc
+                elif _two_piece_exact(data):
+                    precision = "int2"
+                    self.gain_post = not with_agc
+        elif precision == "i8":
+            assert firfold is not True, "i8 and firfold are exclusive"
+            assert self.to <= 1024, "i8 rides the int-piece path (to<=1024)"
+            assert _int16_grid_exact(getattr(input_node, "_data", None)), (
+                "precision='i8' needs content exactly on the int16 grid "
+                "(k / 2^15) — off-grid samples would be silently rounded"
+            )
+            self.gain_post = gp_ok
         elif (precision == "int2" and gp_ok and gain_post == "auto"):
             # explicit int2 keeps the round-2 folded layout unless the
             # content is piece-exact (then raw chunks cost nothing and
@@ -156,11 +185,18 @@ class FusedWidePipeline(Node):
             # explicit override (bench A/B isolation); valid for any
             # content — only the int2 LOSSLESSNESS claim needs the probe
             self.gain_post = bool(gain_post) and gp_ok
+        if precision == "i8" and not with_agc:
+            # i8 chunks must stay RAW: a gain fold would move the PCM
+            # off the int16 grid and the byte split would silently round
+            assert self.gain_post, (
+                "i8 requires gain_post (raw chunks); use int3/int2 for "
+                "a folded-gain layout"
+            )
         if m == "auto":
             # m=3 chunks/grid-step fits the 16 MB scoped-VMEM limit only
             # in the int2 layout (at dma_depth 3); measured fastest
             # there, no help elsewhere (BENCHMARKS.md round-3)
-            m = 3 if (precision == "int2" and self.to <= 320
+            m = 3 if (precision in ("int2", "i8") and self.to <= 320
                       and not with_agc) else 2
             if dma_depth == "auto":
                 self.dma_depth = 3 if m == 3 else 4
@@ -173,12 +209,16 @@ class FusedWidePipeline(Node):
             # u8 regresses at m=3 (wider rows + 3-chunk VMEM pressure);
             # unrolled-4 measured best there (BENCHMARKS.md round-3)
             lookahead = -4
-        if precision in ("int3", "int2") and self.to > 320:
+        if precision in ("int3", "int2", "i8") and self.to > 320:
             self.m = 1  # VMEM budget for large-`to` grids
         self.precision = precision
         self.lookahead = _resolve_lookahead(lookahead, self.m * self.to)
         #: boundary-frame folding (padding-row g1 term); int-piece only
-        self.bfold = precision in ("int3", "int2")
+        self.bfold = precision in ("int3", "int2", "i8")
+        #: chunk row padding: i8 parks its two constant-1 bias rows at
+        #: fr+1 / fr+2, so it needs >= 3 padding rows past fr
+        self._frp = -(-(self.from_ + (3 if precision == "i8" else 1))
+                      // 16) * 16
         if firfold == "auto":
             # FIR-fold (u-form IIR + weight-folded FIR) measured SLOWER
             # than look-ahead-4 on v5e (the 3x-stacked weight dot costs
@@ -369,7 +409,8 @@ class FusedWidePipeline(Node):
         # (first frame of the next chunk) rides there, so the kernel's
         # single int-piece dot computes the whole lerp including the g1
         # term (g1*to is integer-exact in bf16) — no rank-1 xnext pass
-        fr_p = -(-(fr + 1) // 16) * 16
+        # (i8 reserves two more rows for its constant-1 bias operands)
+        fr_p = self._frp
         chunks = jnp.pad(
             data_t[: nc * fr].reshape(nc, fr, self._lanes),
             ((0, 0), (0, fr_p - fr), (0, 0)),
@@ -379,7 +420,23 @@ class FusedWidePipeline(Node):
                                                  data_t.dtype)], axis=0
         )  # [nc, LANES]: first frame of chunk j+1 (zero past the end)
         chunks = chunks.at[:, fr, :].set(boundary)
-        if self.precision in ("int3", "int2"):
+        if self.precision == "i8":
+            # int8 BYTE pieces: content is int16-grid-exact by
+            # construction (__init__ probes/asserts), so k = x * 2^15 is
+            # the exact sample integer; hi = k >> 8 (arithmetic) and
+            # lo_c = (k & 255) - 128 both fit int8 and reconstruct
+            # k = 256*hi + (lo_c + 128). The +128 bias rides two
+            # constant-1 operand rows at fr+1 / fr+2 of the LO piece
+            # against the operator's split bias columns
+            # (ops/fused.py build_fused_operator) — half int2's chunk
+            # bytes, bit-identical output.
+            k = jnp.rint(chunks * 32768.0).astype(jnp.int32)
+            hi = jax.lax.shift_right_arithmetic(
+                k, jnp.int32(8)).astype(jnp.int8)
+            lo = ((k & 255) - 128).astype(jnp.int8)
+            lo = lo.at[:, fr + 1, :].set(1).at[:, fr + 2, :].set(1)
+            chunks = jnp.stack([hi, lo], axis=1)
+        elif self.precision in ("int3", "int2"):
             # exact bf16 piece split: 3 pieces reproduce all 24 f32
             # mantissa bits bitwise; 2 pieces ("int2") drop the last
             # (residual < 2^-18 relative — after gain folding the lane
@@ -454,8 +511,8 @@ class FusedWidePipeline(Node):
         from .ops.fused import build_fused_operator
 
         fr = self.from_
-        fr_p = -(-(fr + 1) // 16) * 16
-        npc = {"int3": 3, "int2": 2}.get(self.precision, 1)
+        fr_p = self._frp
+        npc = {"int3": 3, "int2": 2, "i8": 2}.get(self.precision, 1)
         wsplit = (npc > 1) and self.to > 256 and not self.firfold
         return build_fused_operator(
             self._rs._G0, self._rs._g1, coeffs, fr=fr, to=self.to,

@@ -116,7 +116,7 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                   lookahead: int = 1, subblk: int = 0,
                   binary_mix: bool = False, bfold: bool = False,
                   wsplit: bool = False, firfold: bool = False,
-                  ufir: bool = False,
+                  ufir: bool = False, i8: bool = False,
                   ring_chunks: int = 0, limiter: tuple = None,
                   gain_post: bool = False, nslot: int = 3):
     _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
@@ -125,7 +125,7 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 m=m, to=to, precision=precision, int3=int3,
                 lookahead=lookahead, subblk=subblk, binary_mix=binary_mix,
                 bfold=bfold, wsplit=wsplit, firfold=firfold, ufir=ufir,
-                ring_chunks=ring_chunks,
+                i8=i8, ring_chunks=ring_chunks,
                 ab_ref=ab_ref, corr_scr=corr_scr, nslot=nslot,
                 gv_ref=gv_ref, gain_post=gain_post,
                 limiter=limiter, lim_ref=lim_ref,
@@ -143,7 +143,7 @@ def _fused_agc_kernel(c0_ref, k0_ref, agcp_ref, c_ref, chunks_ref, xn_ref,
                       lookahead: int, rs_slots: int, lag: int,
                       bfold: bool = False, wsplit: bool = False,
                       firfold: bool = False, ufir: bool = False,
-                      ring_chunks: int = 0,
+                      i8: bool = False, ring_chunks: int = 0,
                       limiter: tuple = None, agc_group: int = 0,
                       agc_rel0: bool = False,
                       nslot: int = 3):
@@ -162,7 +162,7 @@ def _fused_agc_kernel(c0_ref, k0_ref, agcp_ref, c_ref, chunks_ref, xn_ref,
                 m=m, to=to, precision=precision, int3=int3,
                 lookahead=lookahead,
                 bfold=bfold, wsplit=wsplit, firfold=firfold, ufir=ufir,
-                ring_chunks=ring_chunks,
+                i8=i8, ring_chunks=ring_chunks,
                 agc=True, agcp_ref=agcp_ref,
                 k0_ref=k0_ref, agc_ref=agc_ref, ring_ref=ring_ref,
                 out_agc_ref=out_agc_ref, agc_carry=agc_carry,
@@ -182,7 +182,7 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 lookahead: int = 1, subblk: int = 0,
                 binary_mix: bool = False, bfold: bool = False,
                 wsplit: bool = False, firfold: bool = False,
-                ufir: bool = False,
+                ufir: bool = False, i8: bool = False,
                 ring_chunks: int = 0,
                 limiter: tuple = None, lim_ref=None, out_lim_ref=None,
                 limc=None,
@@ -376,7 +376,18 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
             # wsplit (to > 256): the integer operator is stacked as
             # [w_hi; w_lo] with w = 4*hi + lo, both halves bf16-exact;
             # the recombine is two array ops over the chunk.
-            acc = jnp.dot(g0t_ref[...], xraw[slot, k],
+            # i8: the pieces are int8 BYTES (hi = k >> 8, lo_c =
+            # (k & 255) - 128 of the int16 sample k) at HALF the chunk
+            # DMA bytes of the bf16 pieces; one convert pass widens them
+            # to (exactly representable) bf16 integers and the SAME dot
+            # reconstructs sum(w*k) exactly — the 2^8 piece scale and
+            # the +128 lo bias live in the operator tiles
+            # (build_fused_operator), so the only other change is the
+            # 2^-15 factor folded into the output scale below.
+            xk_p = xraw[slot, k]
+            if i8:
+                xk_p = xk_p.astype(jnp.bfloat16)
+            acc = jnp.dot(g0t_ref[...], xk_p,
                           preferred_element_type=out_dt)
             if wsplit:
                 acc = 4.0 * acc[:to] + acc[to:]
@@ -393,8 +404,13 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 if gain_post:
                     yk = acc.reshape(to, 8, 128) * gv_ref[...]
                 else:
-                    yk = acc * (1.0 / to)
+                    # i8: the dot yields integer sums sum(w*k); the
+                    # 2^-15 sample scale folds into this one constant
+                    # (exact exponent shift — bit-identical results)
+                    yk = acc * ((1.0 / (to * 32768.0)) if i8
+                                else (1.0 / to))
             else:
+                assert not i8, "i8 requires the bfold layout"
                 yk = acc * (1.0 / to) + g1col * xnk
                 if gain_post:
                     yk = yk.reshape(to, 8, 128) * gv_ref[...]
@@ -1110,6 +1126,10 @@ def build_fused_operator(g0, g1, coeffs, *, fr: int, to: int, m: int,
     ops and the weight build inside the render scan body)."""
     int3 = npc > 1
     mto = m * to
+    assert precision != "i8" or (int3 and bfold and not firfold), (
+        "i8 is a two-int8-piece bfold layout; firfold has its own "
+        "weight stacking"
+    )
     b0, b1, b2, a1, a2 = (jnp.asarray(v, dt) for v in coeffs)
 
     # -- biquad SMEM constants: either the blocked-IIR homogeneous
@@ -1276,13 +1296,37 @@ def build_fused_operator(g0, g1, coeffs, *, fr: int, to: int, m: int,
         if wsplit:
             w_hi = jnp.floor(wint / 4.0)
             w_lo = wint - 4.0 * w_hi
-            g1w = jnp.concatenate(
-                [w_hi.astype(jnp.bfloat16), w_lo.astype(jnp.bfloat16)],
-                axis=0,
-            )                                             # [2*to, fr_p]
+            g1w = jnp.concatenate([w_hi, w_lo], axis=0)   # [2*to, fr_p]
         else:
-            g1w = wint.astype(jnp.bfloat16)
-        g0t = jnp.concatenate([g1w] * npc, axis=1)
+            g1w = wint
+        if precision == "i8":
+            # i8 byte pieces: the PCM is k/2^15 with k int16, stored as
+            # hi = k >> 8 and lo_c = (k & 255) - 128, both int8 (half
+            # the chunk bytes of the bf16 int2 pieces). The single dot
+            # reconstructs sum(w * k) EXACTLY:
+            #   tile0 = W * 2^8 (exact in bf16 — a pure exponent shift
+            #   of the <= 256 integer weights) against the hi piece,
+            #   tile1 = W against lo_c, and the lo byte's +128 offset
+            #   (sum_cols w = to per output row, boundary included via
+            #   the bfold column) rides TWO bias columns fr+1 / fr+2 of
+            #   tile1 whose weights split B = 128*to into exact bf16
+            #   pieces, against constant-1 operand rows the wrapper
+            #   plants in the chunks. Zero extra kernel ops; the only
+            #   change downstream is the final scale 1/(to*2^15).
+            assert bfold, "i8 needs the bfold layout (rowsum = to)"
+            assert fr_p >= fr + 3, "i8 needs two bias padding rows"
+            B = np.float64(128.0) * to
+            pB = float(jnp.asarray(np.float32(B), jnp.bfloat16))
+            rB = np.float32(B - pB)
+            rows = slice(to, 2 * to) if wsplit else slice(0, to)
+            t1 = g1w.at[rows, fr + 1].set(pB).at[rows, fr + 2].set(rB)
+            t0 = g1w * 256.0
+            g0t = jnp.concatenate(
+                [t0.astype(jnp.bfloat16), t1.astype(jnp.bfloat16)],
+                axis=1,
+            )
+        else:
+            g0t = jnp.concatenate([g1w.astype(jnp.bfloat16)] * npc, axis=1)
     else:
         assert not bfold, "bfold requires an int-piece layout"
         g0t = jnp.pad(jnp.asarray(g0, dt).T, ((0, 0), (0, fr_p - fr)))
@@ -1292,13 +1336,21 @@ def build_fused_operator(g0, g1, coeffs, *, fr: int, to: int, m: int,
 def fused_layout(chunks, *, to: int, m: int, firfold: bool = False,
                  subblk: int = 0):
     """Static layout facts derived from the chunk buffer shape:
-    (int3, Nc, npc, fr_p, wsplit)."""
+    (int3, Nc, npc, fr_p, wsplit). int8 chunk dtype selects the "i8"
+    byte-piece layout (npc = 2 int8 pieces, half the chunk DMA bytes of
+    the bf16 int2 pieces)."""
     int3 = chunks.ndim == 4
     if int3:
         Nc, npc, fr_p, _ = chunks.shape
-        assert npc in (2, 3) and chunks.dtype == jnp.bfloat16
+        i8 = chunks.dtype == jnp.int8
+        assert npc in (2, 3) and (i8 or chunks.dtype == jnp.bfloat16)
+        assert not i8 or npc == 2, "i8 layout is exactly two byte pieces"
         assert to <= 1024, "int-piece path requires integer weights <= 1024"
-        assert m <= 3, "int-piece m > 3 exceeds the 16MB VMEM budget"
+        # the i8 layout's halved xraw scratch frees enough scoped VMEM
+        # for a fourth chunk per grid step
+        assert m <= (4 if i8 else 3), (
+            "int-piece m exceeds the 16MB VMEM budget"
+        )
         # weights <= 256 are bf16-exact directly; above that the integer
         # operator splits as w = 4*hi + lo (hi <= to/4 <= 256, lo <= 3,
         # both exact) and the kernel recombines the two accumulator
@@ -1326,6 +1378,17 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
     int3, Nc, npc, fr_p, wsplit = fused_layout(
         chunks, to=to, m=m, firfold=firfold, subblk=subblk
     )
+    i8 = precision == "i8"
+    assert i8 == (chunks.dtype == jnp.int8), (
+        "precision='i8' if and only if the chunks are int8 byte pieces"
+    )
+    if i8:
+        assert bfold and not firfold, (
+            "i8 requires the bfold layout and the non-firfold weight form"
+        )
+        assert fr_p >= fr + 3, (
+            "i8 needs two bias padding rows (fr_p >= fr + 3)"
+        )
     if firfold:
         # FIR-fold constraints: the boundary frame must ride the padding
         # row (the folded weights reference it), the PCM must be in the
@@ -1368,11 +1431,12 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT,
             "int3": jax.lax.Precision.DEFAULT,
-            "int2": jax.lax.Precision.DEFAULT}[precision]
+            "int2": jax.lax.Precision.DEFAULT,
+            "i8": jax.lax.Precision.DEFAULT}[precision]
     return dict(int3=int3, fr_p=fr_p, K=K, dt=dt, st=st, g1p=g1p, c=c,
                 c0=c0, g0t=g0t, mixt=mixt, prec=prec, chunks=chunks,
                 n_t=K // m, ab=ab, n_corr=CP, npc=npc,
-                bfold=bfold, wsplit=wsplit)
+                bfold=bfold, wsplit=wsplit, i8=i8)
 
 
 def _common_in_specs(P, mem, K):
@@ -1390,9 +1454,10 @@ def _common_in_specs(P, mem, K):
 
 
 def _common_scratch(P, m, to, nslot: int = 4):
+    piece_dt = jnp.int8 if P["i8"] else jnp.bfloat16
     return [
         pltpu.VMEM((4, 8, 128), P["dt"]),
-        pltpu.VMEM((nslot, m, P["npc"] * P["fr_p"], LANES), jnp.bfloat16)
+        pltpu.VMEM((nslot, m, P["npc"] * P["fr_p"], LANES), piece_dt)
         if P["int3"] else pltpu.VMEM((nslot, m, P["fr_p"], LANES),
                                      P["dt"]),
         pltpu.VMEM((m * to, 8, 128), P["dt"]),
@@ -1465,8 +1530,10 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
         assert gains.shape == (8, 128)
         if P["bfold"]:
             # the bfold kernel folds the gain into its existing 1/to
-            # scale pass (zero extra cost) — pre-divide here
-            gains = gains * (1.0 / to)
+            # scale pass (zero extra cost) — pre-divide here (i8 dots
+            # yield integer sums, so the 2^-15 sample scale rides too)
+            gains = gains * ((1.0 / (to * 32768.0)) if P["i8"]
+                             else (1.0 / to))
     else:
         gains = jnp.ones((8, 128), dt)
     in_specs = _common_in_specs(P, mem, P["K"])
@@ -1481,7 +1548,7 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
                           int3=P["int3"], lookahead=lookahead,
                           subblk=subblk, binary_mix=binary_mix,
                           bfold=P["bfold"], wsplit=P["wsplit"],
-                          firfold=firfold, ufir=ufir,
+                          firfold=firfold, ufir=ufir, i8=P["i8"],
                           ring_chunks=ring_chunks,
                           limiter=limiter, gain_post=gain_post,
                           nslot=dma_depth),
@@ -1609,7 +1676,7 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
             int3=P["int3"], lookahead=lookahead,
             rs_slots=rs_slots, lag=lag, bfold=P["bfold"],
             wsplit=P["wsplit"], firfold=firfold, ufir=ufir,
-            ring_chunks=ring_chunks, limiter=limiter,
+            i8=P["i8"], ring_chunks=ring_chunks, limiter=limiter,
             agc_group=agc_group, agc_rel0=agc_rel0, nslot=dma_depth,
         ),
         grid=(n_t,),

@@ -320,6 +320,111 @@ def test_fused_gain_post_int2_lossless_content(rng):
     assert f3.precision == "int2" and not f3.gain_post
 
 
+def test_fused_i8_byte_pieces_lossless_content(rng):
+    """Content exactly on the 16-bit PCM grid (x = k/2^15): the auto
+    probe selects the "i8" BYTE-piece layout — int8 hi/lo pieces at HALF
+    int2's chunk DMA traffic — whose single dot reconstructs sum(w*k)
+    exactly (scale + bias folded into the operator tiles,
+    ops/fused.py build_fused_operator). Must match the unfused exact
+    chain at the int-piece tolerance class, and match the int2 layout
+    on the same content essentially bitwise."""
+    S, C, frames = 8, 2, 44100
+    k = rng.integers(-32768, 32768, size=(S * C, frames))
+    wide = (k / 32768.0).astype(np.float32)
+    gains = rng.uniform(0.5, 1.5, S).astype(np.float32) / (8 * S)
+    fused = FusedWidePipeline(
+        SamplesBuffer(S * C, 44100, wide), 48000, gains, S,
+    )
+    assert fused.precision == "i8" and fused.gain_post
+    f2 = FusedWidePipeline(
+        SamplesBuffer(S * C, 44100, wide), 48000, gains, S,
+        precision="int2", gain_post=True,
+    )
+    assert f2.precision == "int2" and f2.gain_post
+    ch = Resample(SamplesBuffer(S * C, 44100, wide), 48000)
+    ch = BltFilter(ch, "low_pass", 2000.0, 0.5, mode="exact")
+    ch = Amplify(ch, np.repeat(gains, C))
+    ch = WideMixer(ch, S)
+    sf, s2, su = fused.init_state(), f2.init_state(), ch.init_state()
+    assert sf["chunks"].dtype == jnp.int8
+    ef = jax.jit(lambda s: fused.emit(s, 640))
+    e2 = jax.jit(lambda s: f2.emit(s, 640))
+    eu = jax.jit(lambda s: ch.emit(s, 640))
+    for _ in range(4):
+        sf, of, vf = ef(sf)
+        s2, o2, v2 = e2(s2)
+        su, ou, vu = eu(su)
+        assert int(vf) == int(v2) == int(vu) == 640
+        np.testing.assert_allclose(np.asarray(of), np.asarray(ou),
+                                   atol=5e-7)
+        # i8 vs int2 on grid content: the resample dots are both exact
+        # integer sums scaled by constants differing by 2^-15 exactly —
+        # any residual is downstream reassociation only
+        np.testing.assert_allclose(np.asarray(of), np.asarray(o2),
+                                   atol=1e-7)
+
+    # negative controls: off-grid content keeps int3; explicit i8 on
+    # off-grid content fails LOUDLY instead of silently rounding
+    noisy = (rng.standard_normal((S * C, frames)) * 0.1).astype(np.float32)
+    f3 = FusedWidePipeline(SamplesBuffer(S * C, 44100, noisy), 48000,
+                           gains, S)
+    assert f3.precision == "int3"
+    with pytest.raises(AssertionError):
+        FusedWidePipeline(SamplesBuffer(S * C, 44100, noisy), 48000,
+                          gains, S, precision="i8")
+
+
+def test_fused_i8_with_agc(rng):
+    """i8 under the in-kernel AGC (raw channel-major chunks): matches
+    the int2 AGC pipeline on grid content at the AGC parity class."""
+    S, C, frames = 8, 2, 44100
+    k = rng.integers(-16384, 16384, size=(S * C, frames))
+    wide = (k / 32768.0).astype(np.float32)
+    gains = rng.uniform(0.5, 1.5, S).astype(np.float32) / S
+    fa = FusedWidePipeline(
+        SamplesBuffer(S * C, 44100, wide), 48000, gains, S, with_agc=True,
+    )
+    assert fa.precision == "i8" and not fa.gain_post
+    fb = FusedWidePipeline(
+        SamplesBuffer(S * C, 44100, wide), 48000, gains, S, with_agc=True,
+        precision="int2",
+    )
+    sa, sb = fa.init_state(), fb.init_state()
+    ea = jax.jit(lambda s: fa.emit(s, 640))
+    eb = jax.jit(lambda s: fb.emit(s, 640))
+    for _ in range(4):
+        sa, oa, va = ea(sa)
+        sb, ob, vb = eb(sb)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob),
+                                   atol=2e-6)
+
+
+def test_fused_i8_wsplit_large_ratio(rng):
+    """i8 at to=640 (44.1k -> 192k): the byte pieces compose with the
+    wsplit operator split (w = 4*hi + lo), bias columns riding the lo
+    rows. Matches the unfused exact chain."""
+    S, C, frames = 4, 2, 22050
+    k = rng.integers(-32768, 32768, size=(S * C, frames))
+    wide = (k / 32768.0).astype(np.float32)
+    gains = rng.uniform(0.5, 1.5, S).astype(np.float32) / (8 * S)
+    fused = FusedWidePipeline(
+        SamplesBuffer(S * C, 44100, wide), 192000, gains, S,
+    )
+    assert fused.precision == "i8" and fused.to == 640 and fused.m == 1
+    ch = Resample(SamplesBuffer(S * C, 44100, wide), 192000)
+    ch = BltFilter(ch, "low_pass", 2000.0, 0.5, mode="exact")
+    ch = Amplify(ch, np.repeat(gains, C))
+    ch = WideMixer(ch, S)
+    sf, su = fused.init_state(), ch.init_state()
+    ef = jax.jit(lambda s: fused.emit(s, 640))
+    eu = jax.jit(lambda s: ch.emit(s, 640))
+    for _ in range(3):
+        sf, of, vf = ef(sf)
+        su, ou, vu = eu(su)
+        np.testing.assert_allclose(np.asarray(of), np.asarray(ou),
+                                   atol=5e-7)
+
+
 @pytest.mark.parametrize("lookahead,agc", [(4, False), (4, True),
                                            (-4, False)])
 def test_fused_ufir_matches_lookahead(rng, lookahead, agc):
