@@ -74,23 +74,25 @@ def _run_scan(node, state, T, n_blocks, repeat, reps=4):
 def main():
     n_streams = int(os.environ.get("BENCH_STREAMS", "512"))
     scan_mode = os.environ.get("BENCH_SCAN_MODE", "fused")
-    # 4800 (15 grid steps at m=2) measured ~2 ns/frame cheaper than the
-    # round-2 default 4160 for the unrolled-serial kernel (per-block
-    # fixed cost amortizes over more steps); see BENCHMARKS.md round-3
-    T = int(os.environ.get("BENCH_BLOCK", "4800"))
-    # m="auto": 3 chunks/grid-step when the content probe selects the
-    # int2 piece layout (lossless for 16-bit-sourced PCM like music.wav;
-    # m=3 only fits scoped VMEM there), else 2. dma_depth follows
-    # (3 at m=3 — depth 4 misses the 16 MB limit by 268 KB; else 4).
+    # 7680 (12 grid steps at the round-4 i8/m=4 record config) measured
+    # best in the interleaved block-size sweep: larger blocks amortize
+    # the fixed per-block cost, and PAD_FRAMES=8192 caps the window.
+    # (Round-3's 4800 note still holds for the m=2/3 classes — T is
+    # re-aligned to the resolved m*to below either way.)
+    T = int(os.environ.get("BENCH_BLOCK", "7680"))
+    # m="auto": 4 chunks/grid-step when the content probe selects the
+    # i8 byte-piece layout (lossless for 16-bit-sourced PCM like
+    # music.wav; the halved landing pads fit m=4 with a 5-deep DMA
+    # pipeline), 3 for int2, else 2. dma_depth follows the flagship
+    # auto rules (5 at i8/m4, 3 at int2/m3, else 4).
     m_env = os.environ.get("BENCH_M", "auto")
     m = m_env if m_env == "auto" else int(m_env)
     dd_env = os.environ.get("BENCH_DMA_DEPTH", "auto")
     dma_depth = dd_env if dd_env == "auto" else int(dd_env)
-    if dma_depth == "auto" and m != "auto":
-        dma_depth = 3 if m >= 3 else 4
     if scan_mode == "fused":
-        # align T to every candidate m*to (lcm(320, 480) = 960 for auto)
-        mto = 960 if m == "auto" else m * 160
+        # align T to every candidate m*to (lcm(320, 480, 640) = 1920
+        # for the auto probe: m=2/3/4 at to=160)
+        mto = 1920 if m == "auto" else m * 160
         T = max(mto, -(-T // mto) * mto)  # fused blocks align to m*to
     n_blocks = int(os.environ.get("BENCH_BLOCKS", "60"))
     r1 = int(os.environ.get("BENCH_R1", "1"))

@@ -183,6 +183,41 @@ def main():
         ("u4-int2m3-rel0", dict(firfold=False, lookahead=-4,
                                 precision="int2", m=3, _T=4800,
                                 dma_depth=3, agc_plan="rel0")),
+        # i8 byte-piece chunks (round-4): int8 hi/lo pieces at HALF
+        # int2's chunk DMA bytes for 16-bit-grid content (music.wav
+        # qualifies); the halved xraw scratch also frees VMEM for m=4
+        ("u4-i8m3", dict(firfold=False, lookahead=-4, precision="i8",
+                         m=3, _T=4800, dma_depth=3)),
+        ("u4-i8m3d4", dict(firfold=False, lookahead=-4, precision="i8",
+                           m=3, _T=4800, dma_depth=4)),
+        ("u4-i8m4", dict(firfold=False, lookahead=-4, precision="i8",
+                         m=4, _T=5120, dma_depth=3)),
+        ("u4-i8m3d5", dict(firfold=False, lookahead=-4, precision="i8",
+                           m=3, _T=4800, dma_depth=5)),
+        ("u4-i8m4d4", dict(firfold=False, lookahead=-4, precision="i8",
+                           m=4, _T=5120, dma_depth=4)),
+        ("u8-i8m3d4", dict(firfold=False, lookahead=-8, precision="i8",
+                           m=3, _T=4800, dma_depth=4)),
+        ("u4-i8m3T72", dict(firfold=False, lookahead=-4, precision="i8",
+                            m=3, _T=7200, dma_depth=4)),
+        ("u4-i8m4T76", dict(firfold=False, lookahead=-4, precision="i8",
+                            m=4, _T=7680, dma_depth=4)),
+        ("u4-i8m4T102", dict(firfold=False, lookahead=-4, precision="i8",
+                             m=4, _T=10240, dma_depth=4, _MB=10240)),
+        ("u8-i8m4T76", dict(firfold=False, lookahead=-8, precision="i8",
+                            m=4, _T=7680, dma_depth=4)),
+        ("u4-i8m4T76d3", dict(firfold=False, lookahead=-4,
+                              precision="i8", m=4, _T=7680, dma_depth=3)),
+        ("u4-i8m4T76d5", dict(firfold=False, lookahead=-4,
+                              precision="i8", m=4, _T=7680, dma_depth=5)),
+        ("u4-i8m4T76d6", dict(firfold=False, lookahead=-4,
+                              precision="i8", m=4, _T=7680, dma_depth=6)),
+        ("u4-i8m4T76d8", dict(firfold=False, lookahead=-4,
+                              precision="i8", m=4, _T=7680, dma_depth=8)),
+        ("u8-i8", dict(firfold=False, lookahead=-8, precision="i8",
+                       _T=4800)),
+        ("192k-i8u8", dict(firfold=False, lookahead=-8, precision="i8",
+                           _out=192000, _T=5120)),
         # 44.1k -> 192k upsample ladder (to=640 wsplit, m=1; the 84,141x
         # round-2 row predates the unrolled serial loop — VERDICT r3 #9)
         ("192k-la4", dict(firfold=False, lookahead=4, _out=192000,

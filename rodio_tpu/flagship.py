@@ -116,7 +116,7 @@ class FusedWidePipeline(Node):
                  with_agc: bool = False, agc_settings=None,
                  agc_ring: str = "bf16", agc_group: int = 0,
                  agc_plan: str = "auto",
-                 dma_depth: int = 4, master_limit=None):
+                 dma_depth="auto", master_limit=None):
         assert getattr(input_node, "RANDOM_ACCESS", False) and hasattr(
             input_node, "slice_frames"
         ), "FusedWidePipeline needs a sliceable random-access source"
@@ -195,13 +195,29 @@ class FusedWidePipeline(Node):
         if m == "auto":
             # m=3 chunks/grid-step fits the 16 MB scoped-VMEM limit only
             # in the int2 layout (at dma_depth 3); measured fastest
-            # there, no help elsewhere (BENCHMARKS.md round-3)
-            m = 3 if (precision in ("int2", "i8") and self.to <= 320
-                      and not with_agc) else 2
+            # there, no help elsewhere (BENCHMARKS.md round-3). The i8
+            # byte pieces halve the landing pads again: m=4 with a
+            # 5-deep DMA pipeline fits at to <= 160 and measured the
+            # round-4 record (~670-690k); to in (160, 320] keeps m=3
+            # (the m*to staging scratch, not the pads, is the binding
+            # budget there) with the deeper 4-slot pipeline.
+            if precision == "i8" and self.to <= 160 and not with_agc:
+                m = 4
+            elif (precision in ("int2", "i8") and self.to <= 320
+                    and not with_agc):
+                m = 3
+            else:
+                m = 2
             if dma_depth == "auto":
-                self.dma_depth = 3 if m == 3 else 4
+                if precision == "i8":
+                    self.dma_depth = 5 if m == 4 else 4
+                else:
+                    self.dma_depth = 3 if m == 3 else 4
         if self.dma_depth == "auto":
-            self.dma_depth = 3 if m >= 3 else 4
+            if precision == "i8":
+                self.dma_depth = 5 if m >= 4 else 4
+            else:
+                self.dma_depth = 3 if m >= 3 else 4
         self.dma_depth = int(self.dma_depth)
         self.m = int(m)
         if (lookahead == "auto" and self.m >= 3
