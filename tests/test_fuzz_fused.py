@@ -100,10 +100,13 @@ def _sample_cfg(seed: int) -> Cfg:
     m = int(rng.integers(1, min(m_max, 3) + 1))
     mto = m * to
 
-    precision = str(rng.choice(["auto", "int3", "int2", "highest"]))
+    precision = str(rng.choice(["auto", "int3", "int2", "highest", "i8"]))
     firfold = bool(rng.random() < 0.15 and agc == "off" and to >= 2)
     if firfold and precision not in ("int3", "int2"):
         precision = "int3"
+    if precision == "i8" and to <= 160 and rng.random() < 0.3:
+        m = 4  # the halved i8 landing pads admit a 4-chunk grid step
+        mto = m * to
     ufir = bool(rng.random() < 0.15 and not firfold)
     subblk = 0
     if (agc == "off" and not firfold and not ufir
@@ -132,10 +135,14 @@ def _sample_cfg(seed: int) -> Cfg:
 
     gain_post = "auto"
     if agc == "off" and not firfold:
-        gain_post = rng.choice(["auto", True, False])
+        pool = (["auto", True] if precision == "i8"
+                else ["auto", True, False])  # i8 chunks must stay raw
+        gain_post = rng.choice(pool)
         gain_post = bool(gain_post) if gain_post != "auto" else "auto"
 
-    content = str(rng.choice(["noise", "noise", "quant16"]))
+    content = str(rng.choice(["noise", "noise", "quant16", "grid16"]))
+    if precision == "i8":
+        content = "grid16"  # the i8 probe asserts int16-grid content
     T = mto * int(rng.integers(2, 4))
     # the AGC ring must wrap: render past the 4096-frame window lag
     blocks = (-(-5200 // T) + 1) if agc != "off" else 4
@@ -169,6 +176,11 @@ def _content(cfg):
     if cfg.content == "quant16":
         k = rng.integers(-32768, 32768, size=(wide, frames))
         pcm = (k / 32768.0 * 0.25).astype(np.float32)
+    elif cfg.content == "grid16":
+        # exactly on the int16 grid (x = k/2^15): the i8 byte-piece
+        # probe passes; precision="auto" resolves to i8 on this content
+        k = rng.integers(-32768, 32768, size=(wide, frames))
+        pcm = (k / 32768.0).astype(np.float32)
     else:
         pcm = (rng.standard_normal((wide, frames)) * 0.15).astype(
             np.float32
@@ -344,7 +356,8 @@ def _shrink(cfg):
         ("farm", False), ("ufir", False), ("firfold", False),
         ("subblk", 0), ("gain_post", "auto"), ("retune_at", None),
         ("agc_set_at", None), ("agc_ring", "f32"), ("agc_group", 0),
-        ("dma_depth", 4), ("precision", "int3"), ("lookahead", 2),
+        ("dma_depth", 4), ("m", 2), ("precision", "int3"),
+        ("lookahead", 2),
     ]
     cur = cfg
     for name, val in steps:
