@@ -208,6 +208,18 @@ def main():
                             m=4, _T=7680, dma_depth=4)),
         ("u4-i8m4T76d3", dict(firfold=False, lookahead=-4,
                               precision="i8", m=4, _T=7680, dma_depth=3)),
+        # i8 under the in-kernel AGC (AB_AGC=1): chunk DMA halves but
+        # the AGC serial chains + sq ring dominate — measure the delta
+        ("u4-agc-rel0-int2", dict(firfold=False, lookahead=-4,
+                                  agc_plan="rel0", precision="int2")),
+        ("u4-agc-rel0-i8", dict(firfold=False, lookahead=-4,
+                                agc_plan="rel0", precision="i8")),
+        ("u4-agc-rel0-i8T76", dict(firfold=False, lookahead=-4,
+                                   agc_plan="rel0", precision="i8",
+                                   _T=7680)),
+        ("u4-agc-rel0-int2T76", dict(firfold=False, lookahead=-4,
+                                     agc_plan="rel0", precision="int2",
+                                     _T=7680)),
         ("u4-i8m4T76d5", dict(firfold=False, lookahead=-4,
                               precision="i8", m=4, _T=7680, dma_depth=5)),
         ("u4-i8m4T76d6", dict(firfold=False, lookahead=-4,

@@ -61,6 +61,7 @@ class Cfg:
     agc: str            # "off" | "exact" | "group"
     agc_group: int
     agc_ring: str
+    agc_plan: str       # "auto" | "rel0" (exact-mode only; rel=0 plan)
     content: str        # "noise" | "quant16"
     freq: float
     q: float
@@ -155,7 +156,12 @@ def _sample_cfg(seed: int) -> Cfg:
         lookahead=lookahead, subblk=subblk, ufir=ufir, firfold=firfold,
         gain_post=gain_post, dma_depth=int(rng.integers(2, 6)),
         agc=agc, agc_group=agc_group,
-        agc_ring=str(rng.choice(["bf16", "f32"])), content=content,
+        agc_ring=str(rng.choice(["bf16", "f32"])),
+        # rel0 structural plan (round-4): only legal at release_time=0,
+        # i.e. the exact-mode default AgcSettings() this fuzzer uses
+        agc_plan=("rel0" if agc == "exact" and rng.random() < 0.4
+                  else "auto"),
+        content=content,
         freq=float(np.float32(rng.uniform(300.0, 6000.0))),
         q=float(np.float32(rng.uniform(0.4, 1.5))),
         T=T, blocks=blocks,
@@ -207,6 +213,7 @@ def _build_fused(cfg, pcm, gains):
         with_agc=(cfg.agc != "off"),
         agc_settings=_agc_settings(cfg) if cfg.agc != "off" else None,
         agc_ring=cfg.agc_ring, agc_group=cfg.agc_group,
+        agc_plan=cfg.agc_plan,
     )
 
 
@@ -356,6 +363,7 @@ def _shrink(cfg):
         ("farm", False), ("ufir", False), ("firfold", False),
         ("subblk", 0), ("gain_post", "auto"), ("retune_at", None),
         ("agc_set_at", None), ("agc_ring", "f32"), ("agc_group", 0),
+        ("agc_plan", "auto"),
         ("dma_depth", 4), ("m", 2), ("precision", "int3"),
         ("lookahead", 2),
     ]
