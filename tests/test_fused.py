@@ -24,6 +24,7 @@ def _pipe(node):
     return node if isinstance(node, FusedWidePipeline) else node.input
 
 
+@pytest.mark.slow
 def test_fused_inkernel_limiter_parity(rng):
     """Opt-in in-kernel master limiter (the mega-kernel epilogue) vs the
     separate blocked Limit dispatch: same blocked parallel-in-time plan,
@@ -155,6 +156,7 @@ def test_fused_flagship_factory(rng):
     assert float(jnp.max(jnp.abs(out))) > 0
 
 
+@pytest.mark.slow
 def test_fused_agc_matches_unfused_exact_chain(rng):
     """The in-kernel AGC stage (decomposed rsqrt form + HBM sq-ring)
     must match the unfused exact chain (Resample -> Blt -> AGC ->
@@ -374,6 +376,7 @@ def test_fused_i8_byte_pieces_lossless_content(rng):
                           gains, S, precision="i8")
 
 
+@pytest.mark.slow
 def test_fused_i8_with_agc(rng):
     """i8 under the in-kernel AGC (raw channel-major chunks): matches
     the int2 AGC pipeline on grid content at the AGC parity class."""
@@ -427,6 +430,7 @@ def test_fused_i8_wsplit_large_ratio(rng):
 
 @pytest.mark.parametrize("lookahead,agc", [(4, False), (4, True),
                                            (-4, False)])
+@pytest.mark.slow
 def test_fused_ufir_matches_lookahead(rng, lookahead, agc):
     """ufir (vectorized FIR + u-form 2-term IIR loop) matches the
     full-biquad look-ahead plan to the usual reassociation class —
@@ -454,6 +458,7 @@ def test_fused_ufir_matches_lookahead(rng, lookahead, agc):
                                    atol=2e-6)
 
 
+@pytest.mark.slow
 def test_fused_wsplit_large_ratio_matches_unfused(rng):
     """44.1k -> 192k (to = 640 > 256): the split-integer weight path
     (w = 4*hi + lo, both bf16-exact) matches the unfused HIGHEST chain
@@ -480,6 +485,7 @@ def test_fused_wsplit_large_ratio_matches_unfused(rng):
                                    atol=5e-7)
 
 
+@pytest.mark.slow
 def test_fused_agc_rms_limited_quiet_content(rng):
     """Quiet program material keeps the AGC in the RMS-limited regime
     (desired = target*rsqrt(ms)), which exercises the sq-history ring's
@@ -508,6 +514,7 @@ def test_fused_agc_rms_limited_quiet_content(rng):
                                    atol=5e-7, err_msg=f"block {blk}")
 
 
+@pytest.mark.slow
 def test_fused_wsplit_with_agc(rng):
     """The split-integer weight path composes with the in-kernel AGC
     (192 kHz AGC farm): parity vs the unfused exact chain."""
@@ -529,6 +536,7 @@ def test_fused_wsplit_with_agc(rng):
                                    atol=5e-7)
 
 
+@pytest.mark.slow
 def test_fused_agc_power_of_two_ratio(rng):
     """lag % (m*to) == 0 (any power-of-two rate ratio, e.g. 24k->48k):
     the RMS-ring old window is exactly one full slot, so only the slot-B
@@ -648,6 +656,7 @@ def test_fused_agc_live_params_zero_retrace(rng):
     pr.update(fused_r.set_agc_params(pr, release=0.0))
 
 
+@pytest.mark.slow
 def test_fused_agc_rel0_matches_serial_plan(rng):
     """The rel0 structural plan (round-4: memoryless peak + clamped-min
     smoother at release coefficient exactly 0) vs the 3-chain serial
@@ -671,6 +680,7 @@ def test_fused_agc_rel0_matches_serial_plan(rng):
                                    atol=5e-7, err_msg=f"block {blk}")
 
 
+@pytest.mark.slow
 def test_fused_agc_serial_plan_nonzero_release(rng):
     """Nonzero release_time keeps the serial plan (auto) and matches the
     unfused exact chain — the regime the rel0 plan cannot serve."""
@@ -703,6 +713,7 @@ def test_fused_agc_serial_plan_nonzero_release(rng):
                                    atol=5e-7, err_msg=f"block {blk}")
 
 
+@pytest.mark.slow
 def test_fused_agc_group_tracks_exact(rng):
     """Opt-in group-rate AGC (agc_group=8, see the AgcGroup contract in
     effects/agc.py): window sums are exact per group, the gain smoother
@@ -760,6 +771,7 @@ def test_fused_agc_group_live_params(rng):
 
 @pytest.mark.parametrize("with_agc,agc_group",
                          [(False, 0), (True, 0), (True, 4)])
+@pytest.mark.slow
 def test_fused_unrolled_serial_matches_fori(rng, with_agc, agc_group):
     """lookahead < 0 selects the STATICALLY UNROLLED serial loops (the
     look-ahead biquad AND the AGC chains) — identical arithmetic with

@@ -20,6 +20,9 @@ import numpy as np
 import pytest
 
 import rodio_tpu.refimpl as ri
+
+# Heavyweight fuzz tier: excluded from the quick gate (pytest -m "not slow")
+pytestmark = pytest.mark.slow
 from rodio_tpu.effects import (
     AgcSettings,
     Amplify,

@@ -331,6 +331,13 @@ def _tolerance(cfg):
         tol = 2e-6     # u-form reassociation class (test_fused)
     if cfg.precision == "int2" and cfg.content != "quant16":
         tol = 4e-6     # documented int2 worst-case class
+    if cfg.content == "grid16":
+        # f32 rounding is RELATIVE to signal amplitude; the 1e-6 class
+        # above is calibrated on 0.15-0.25-amplitude content, while
+        # grid16 is full-scale (peak 1.0). Verified 4.0x exactly: seed
+        # 41's minimal config measures 2.21e-6 on grid16 and 5.51e-7
+        # with the same kernel on 0.25-scale quant16.
+        tol *= 4.0
     if cfg.q > 0.8:
         # resonant feedback integrates the CPU test host's 1-ulp FMA-
         # contraction differences (the documented XLA:CPU artifact —
@@ -398,13 +405,14 @@ def _run(seed):
         )
 
 
-@pytest.mark.parametrize("seed", range(10))
+@pytest.mark.parametrize("seed", [0, 2, 3, 4, 7])
 def test_fuzz_fused_quick(seed):
-    """Quick-tier slice of the fused-kernel fuzz (seeds 0-9)."""
+    """Quick-tier slice of the fused-kernel fuzz (~30 s on the 1-core
+    host; seed 7 covers the rel0 AGC plan)."""
     _run(seed)
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("seed", range(10, 52))
+@pytest.mark.parametrize("seed", [1, 5, 6, 8, 9] + list(range(10, 52)))
 def test_fuzz_fused(seed):
     _run(seed)

@@ -254,6 +254,7 @@ def _fused_shard_builder(frames, n_streams, n_dev, seed=11):
     return build
 
 
+@pytest.mark.slow
 def test_sharded_fused_pipeline_equals_dense(mesh):
     """The fused MEGA-KERNEL sharded over 8 devices (interpret mode on
     the virtual CPU mesh): per-chip Pallas kernel on local streams, psum
@@ -317,6 +318,7 @@ def test_sharded_fused_pipeline_equals_dense(mesh):
     assert sharded._steps[T] is step
 
 
+@pytest.mark.slow
 def test_sharded_fused_retune_matches_dense(mesh):
     """Live biquad retune broadcast into every shard mid-run: zero
     re-trace (cached step identity) and parity with the dense chains

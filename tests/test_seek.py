@@ -136,6 +136,7 @@ def test_player_try_seek():
     np.testing.assert_allclose(block[0], data[24000:24128], atol=1e-7)
 
 
+@pytest.mark.slow
 def test_seek_stateful_chain_is_o_preroll(rng):
     """VERDICT r1 item 8: seeking deep into a stateful chain costs
     O(pre_roll), not O(position) — the source repositions through its
