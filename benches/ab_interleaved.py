@@ -230,6 +230,10 @@ def main():
                        _T=4800)),
         ("192k-i8u8", dict(firfold=False, lookahead=-8, precision="i8",
                            _out=192000, _T=5120)),
+        # decisive 192k pair: auto resolves to i8 on 16-bit-grid
+        # content even at to=640; int3 forces the pre-round-4 wsplit
+        ("192k-int3u8", dict(firfold=False, lookahead=-8,
+                             precision="int3", _out=192000, _T=5120)),
         # 44.1k -> 192k upsample ladder (to=640 wsplit, m=1; the 84,141x
         # round-2 row predates the unrolled serial loop — VERDICT r3 #9)
         ("192k-la4", dict(firfold=False, lookahead=4, _out=192000,
