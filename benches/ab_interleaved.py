@@ -220,6 +220,23 @@ def main():
         ("u4-agc-rel0-int2T76", dict(firfold=False, lookahead=-4,
                                      agc_plan="rel0", precision="int2",
                                      _T=7680)),
+        # round-5 rel0 plan ladder (AB_AGC=1): rel0f = lean rel0
+        # (packed ring + folded-rsqrt desired gain); rel0b = blocked
+        # parallel-in-time smoother (VERDICT r4 ask #1 measurement).
+        # rel0b runs at int2/m2 (mto=320): its 3 extra [mto,8,128] f32
+        # trans scratches exceed scoped VMEM at i8/m4 (mto=640).
+        ("u4-agc-rel0f-i8T76", dict(firfold=False, lookahead=-4,
+                                    agc_plan="rel0f", precision="i8",
+                                    _T=7680)),
+        ("u4-agc-rel0f-int2T76", dict(firfold=False, lookahead=-4,
+                                      agc_plan="rel0f",
+                                      precision="int2", _T=7680)),
+        ("u4-agc-rel0b-int2T76", dict(firfold=False, lookahead=-4,
+                                      agc_plan="rel0b",
+                                      precision="int2", _T=7680)),
+        ("la4-agc-rel0b-int2T76", dict(firfold=False, lookahead=4,
+                                       agc_plan="rel0b",
+                                       precision="int2", _T=7680)),
         ("u4-i8m4T76d5", dict(firfold=False, lookahead=-4,
                               precision="i8", m=4, _T=7680, dma_depth=5)),
         ("u4-i8m4T76d6", dict(firfold=False, lookahead=-4,

@@ -88,6 +88,34 @@ def _int16_grid_exact(data) -> bool:
     return bool(jnp.all((s == k) & (k >= -32768.0) & (k <= 32767.0)))
 
 
+def _content_probe(input_node) -> tuple:
+    """(int16_grid_exact, two_piece_exact) for the node's PCM, computed
+    in ONE fused device pass with ONE readback and CACHED on the node
+    (ADVICE r4 #4: the auto-precision path ran both probes as separate
+    blocking full-buffer reductions per constructed pipeline — build
+    latency growing with content length)."""
+    data = getattr(input_node, "_data", None)
+    if data is None:
+        return (False, False)
+    cached = getattr(input_node, "_content_probe_cache", None)
+    if cached is not None:
+        return cached
+    s = data * 32768.0  # exact: a pure exponent shift in f32
+    k = jnp.rint(s)
+    g16 = jnp.all((s == k) & (k >= -32768.0) & (k <= 32767.0))
+    p1 = data.astype(jnp.bfloat16).astype(data.dtype)
+    r = data - p1
+    p2 = r.astype(jnp.bfloat16).astype(data.dtype)
+    tp = jnp.all(r == p2)
+    res = np.asarray(jnp.stack([g16, tp]))  # single device round trip
+    out = (bool(res[0]), bool(res[1]))
+    try:
+        input_node._content_probe_cache = out
+    except Exception:
+        pass
+    return out
+
+
 class FusedWidePipeline(Node):
     """Resample + biquad + gain + stream-mix as ONE Pallas mega-kernel.
 
@@ -158,19 +186,19 @@ class FusedWidePipeline(Node):
             precision = "int3" if self.to <= 1024 else "highest"
             if (precision == "int3" and firfold is not True
                     and (with_agc or gain_post is not False)):
-                data = getattr(input_node, "_data", None)
-                if _int16_grid_exact(data):
+                g16, tp2 = _content_probe(input_node)
+                if g16:
                     # 16-bit-grid content: int8 BYTE pieces — lossless
                     # at half int2's chunk DMA traffic (1/3 of int3's)
                     precision = "i8"
                     self.gain_post = not with_agc
-                elif _two_piece_exact(data):
+                elif tp2:
                     precision = "int2"
                     self.gain_post = not with_agc
         elif precision == "i8":
             assert firfold is not True, "i8 and firfold are exclusive"
             assert self.to <= 1024, "i8 rides the int-piece path (to<=1024)"
-            assert _int16_grid_exact(getattr(input_node, "_data", None)), (
+            assert _content_probe(input_node)[0], (
                 "precision='i8' needs content exactly on the int16 grid "
                 "(k / 2^15) — off-grid samples would be silently rounded"
             )
@@ -179,8 +207,7 @@ class FusedWidePipeline(Node):
             # explicit int2 keeps the round-2 folded layout unless the
             # content is piece-exact (then raw chunks cost nothing and
             # remove the fold's residual from the parity budget)
-            self.gain_post = _two_piece_exact(
-                getattr(input_node, "_data", None))
+            self.gain_post = _content_probe(input_node)[1]
         if gain_post is True or gain_post is False:
             # explicit override (bench A/B isolation); valid for any
             # content — only the int2 LOSSLESSNESS claim needs the probe
@@ -347,13 +374,21 @@ class FusedWidePipeline(Node):
             # (a cached outer jit would never see a host-side flip), so
             # "auto" keeps the serial plan, which serves EVERY live
             # knob; rel0 pipelines raise on set_agc_params(release!=0).
-            assert agc_plan in ("auto", "rel0", "serial")
-            if agc_plan == "rel0":
+            # rel0f = the LEAN rel0 (packed ring basis + folded-rsqrt
+            # desired gain, round-5); rel0b = the blocked
+            # parallel-in-time rel0 smoother (measured A/B record —
+            # see ops/fused.py rel0b note). Same exactness contract
+            # and live-knob rules as rel0.
+            assert agc_plan in ("auto", "serial", "rel0", "rel0f",
+                                "rel0b", "rel0b16", "rel0b32",
+                                "rel0b64")
+            if agc_plan.startswith("rel0"):
                 assert self._agc_params[1] == 0.0 and not agc_group, (
-                    "agc_plan='rel0' requires release_time=0 and no "
-                    "group mode"
+                    f"agc_plan='{agc_plan}' requires release_time=0 "
+                    "and no group mode"
                 )
-            self._agc_rel0 = agc_plan == "rel0"
+            self._agc_rel0 = (agc_plan
+                              if agc_plan.startswith("rel0") else "")
             half = LANES // 2
             # lane permutation: new lane l = c*half + s <- old row s*C + c;
             # unused stream slots point at a zero row of the padded data
@@ -445,7 +480,9 @@ class FusedWidePipeline(Node):
             # constant-1 operand rows at fr+1 / fr+2 of the LO piece
             # against the operator's split bias columns
             # (ops/fused.py build_fused_operator) — half int2's chunk
-            # bytes, bit-identical output.
+            # bytes; every PRODUCT is exact, f32-accumulated (<= 1 ulp
+            # once |sum w*k| can exceed 2^24, i.e. to > 512 at full
+            # scale — ADVICE r4 #1; within the documented ~5e-7 class).
             k = jnp.rint(chunks * 32768.0).astype(jnp.int32)
             hi = jax.lax.shift_right_arithmetic(
                 k, jnp.int32(8)).astype(jnp.int8)

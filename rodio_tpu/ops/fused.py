@@ -139,13 +139,14 @@ def _fused_agc_kernel(c0_ref, k0_ref, agcp_ref, c_ref, chunks_ref, xn_ref,
                       out_lim_ref,
                       carry, xraw, x_scr, y_scr, sems,
                       agc_carry, old_scr, sq_scr, rsems, wsems, limc,
+                      tr_a=None, tr_b=None, tr_c=None, gb_scr=None,
                       *, m: int, to: int, precision, int3: bool,
                       lookahead: int, rs_slots: int, lag: int,
                       bfold: bool = False, wsplit: bool = False,
                       firfold: bool = False, ufir: bool = False,
                       i8: bool = False, ring_chunks: int = 0,
                       limiter: tuple = None, agc_group: int = 0,
-                      agc_rel0: bool = False,
+                      agc_rel0: str = "",
                       nslot: int = 3):
     """AGC-bearing variant: adds the per-stream AGC stage between the
     biquad and the mix (src/source/agc.rs:397-496, decomposed form), with
@@ -169,6 +170,7 @@ def _fused_agc_kernel(c0_ref, k0_ref, agcp_ref, c_ref, chunks_ref, xn_ref,
                 old_scr=old_scr, sq_scr=sq_scr, rsems=rsems, wsems=wsems,
                 rs_slots=rs_slots, lag=lag, agc_group=agc_group,
                 agc_rel0=agc_rel0,
+                tr_a=tr_a, tr_b=tr_b, tr_c=tr_c, gb_scr=gb_scr,
                 nslot=nslot,
                 limiter=limiter, lim_ref=lim_ref,
                 out_lim_ref=out_lim_ref, limc=limc)
@@ -190,7 +192,8 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 ab_ref=None, corr_scr=None,
                 agc=None, agcp_ref=None, k0_ref=None, agc_ref=None,
                 ring_ref=None, agc_group: int = 0,
-                agc_rel0: bool = False,
+                agc_rel0: str = "",
+                tr_a=None, tr_b=None, tr_c=None, gb_scr=None,
                 out_agc_ref=None, agc_carry=None, old_scr=None,
                 sq_scr=None, rsems=None, wsems=None,
                 rs_slots: int = 0, lag: int = 0, nslot: int = 3):
@@ -773,8 +776,24 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
           # delta is formed from the quantized square), so the window sum
           # carries no drift — only a ~2^-9-relative per-sample noise on
           # the 8192-sample mean (documented AGC parity budget).
+          #
+          # rel0f/rel0b plans (round-5) store the ring in the PACKED
+          # basis instead: row = (sq@ch0 | sq@ch0 + sq@ch1), i.e. the
+          # (lo | lo+hi) form the rel0 plan's repack pass derives per
+          # step — the packed deltas then come straight out of the
+          # ring subtract and the repack pass vanishes. The enter =
+          # leave invariant holds verbatim in this basis (the packed
+          # values are what enter the running sum and what leave it
+          # `lag` rows later), so the window still carries zero drift;
+          # only the hi sub-step's quantization point moves (bf16 of
+          # the frame sum vs sum of bf16 squares — same ~2^-9 noise
+          # class on the 8192-sample mean).
           yv = y_scr[...]
           sqv = yv * yv
+          packed_ring = agc_rel0 in ("rel0f",) or agc_rel0.startswith("rel0b")
+          if packed_ring:
+              plo = sqv[:, 0:4]
+              sqv = jnp.concatenate([plo, plo + sqv[:, 4:8]], axis=1)
           if ring_bf16:
               sqq = sqv.astype(jnp.bfloat16)
               sq_scr[wslot] = sqq
@@ -784,7 +803,7 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
               sqf = sqv
           x_scr[...] = sqf - old_scr[...].astype(dtv)
 
-          if agc_rel0:
+          if agc_rel0 == "rel0":
             # rel == 0 STRUCTURAL PLAN (the default AgcSettings has
             # release_time = 0, agc.rs:78, whose duration_to_coefficient
             # is exactly 0.0): two of the three serial chains vanish —
@@ -843,6 +862,213 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
             agc_carry[0:4] = rs2[0:4]
             # peak rows 4:8 stay untouched (memoryless at rel = 0)
             agc_carry[8:12] = g
+          elif agc_rel0 == "rel0f":
+            # rel0f: the LEAN rel0 plan (round-5). Three reductions over
+            # rel0, all inside the documented ulp-class AGC budget:
+            #   1. PACKED ring basis (stage A above): the (lo | lo+hi)
+            #      repack pass disappears — x_scr rows arrive as packed
+            #      deltas. The hi-half window sum reassociates exactly
+            #      like rel0's dlo+dhi pre-add did (ulp-class, tested).
+            #   2. FOLDED desired gain: min(t*rsqrt(ms), min(t/|y|, mg))
+            #      == min(t * rsqrt(max(ms, y*y)), mg) because rsqrt is
+            #      monotone-decreasing and t/|y| = t*rsqrt(y*y) up to
+            #      1 ulp — one rsqrt covers both the RMS and peak terms
+            #      (the zero guard folds too: q <= 0 iff both terms are,
+            #      since y*y >= 0). Saves the divide, a cmp/select pair,
+            #      and the |y| pass (y*y == |y|*|y| bitwise).
+            #   3. floor is pinned 0.0 (effects/agc.py) and rg/pg are
+            #      built from non-negative factors, so max(des, floor)
+            #      is an identity — dropped (NaN-free by construction:
+            #      rsqrt(q>0) is finite).
+            catt = 1.0 - att
+
+            def rel0f_loop(t, carrs):
+                rs2, g = carrs
+                rsv = rs2 + x_scr[t]       # packed (rs@ch0 | rs@ch1)
+                y = y_scr[t]
+                q = jnp.maximum(rsv * invw, y * y)
+                des = jnp.where(
+                    q > 0.0,
+                    jnp.minimum(target * jax.lax.rsqrt(q), mg), mg,
+                )
+                dlo = des[0:4]
+                g = jnp.maximum(0.1, jnp.minimum(dlo, att * g + catt * dlo))
+                glo = g
+                dhi = des[4:8]
+                g = jnp.maximum(0.1, jnp.minimum(dhi, att * g + catt * dhi))
+                y_scr[t] = y * jnp.concatenate([glo, g], axis=0)
+                hi = rsv[4:8]
+                return (jnp.concatenate([hi, hi], axis=0), g)
+
+            rs0 = jnp.concatenate([agc_carry[0:4], agc_carry[0:4]], axis=0)
+            if unroll:
+                acc_r = (rs0, agc_carry[8:12])
+                for _t in range(mto):
+                    acc_r = rel0f_loop(_t, acc_r)
+                rs2, g = acc_r
+            else:
+                rs2, g = jax.lax.fori_loop(
+                    0, mto, rel0f_loop, (rs0, agc_carry[8:12])
+                )
+            agc_carry[0:4] = rs2[0:4]
+            # peak rows 4:8 stay untouched (memoryless at rel = 0)
+            agc_carry[8:12] = g
+          elif agc_rel0.startswith("rel0b"):
+            # rel0b: BLOCKED PARALLEL-IN-TIME rel0 smoother (round-5,
+            # VERDICT r4 ask #1). Each rel0 smoother step is
+            #   f_i(g) = min(H_i, max(0.1, att*g + B_i)),
+            #   B_i = (1-att)*d_i,  H_i = max(0.1, d_i)
+            # — a clamp-of-affine with CONSTANT slope att, closed under
+            # composition:  f2(f1(g)) = min(H', max(L', att^2 g + B'))
+            #   B' = att*B1 + B2
+            #   L' = max(0.1, att*L1 + B2)
+            #   H' = min(H2, max(0.1, att*H1 + B2))
+            # (identity on the reachable gain domain [0.1, mg] is
+            # (B=0, L=0, H=mg)). The mto-row step splits into RPC = 8
+            # chunks of R rows: per-chunk prefix maps compose in
+            # parallel across chunks (pass 2), an 8-step boundary pass
+            # threads g through the chunk maps (pass 3), and the gains
+            # reconstruct as g_j = min(H_j, max(L_j, att^j g0 + B_j))
+            # (pass 4). Sequential depth drops ~RPC-fold — but on the
+            # fused farm every lane/sublane is already occupied by
+            # streams (unlike ops/limiter_block.py, whose 11x came
+            # from parking time chunks on 126 FREE lanes), so blocking
+            # only re-shapes the op stream, it cannot shrink it: per
+            # sub-step the compose+apply costs ~9 vreg-ops vs the
+            # direct smoother's ~4. MEASURED (round-5): the blocked
+            # form WINS anyway (+4.7% farm at RPC=8/int2/T=7680,
+            # 275.2 vs 288.1 us/block interleaved) — the serial rel0
+            # loop is STALL-bound on the smoother's ~8-op dependency
+            # chain (in-order VPU), not issue-bound; rel0f's −5
+            # ops/row measured a 0.0% wash, which is the same
+            # diagnosis. Blocking trades issue slots for chain depth.
+            RPC = int(agc_rel0[5:]) if len(agc_rel0) > 5 else 8
+            assert mto % RPC == 0, f"rel0b needs {RPC} | m*to"
+            R = mto // RPC
+            catt = 1.0 - att
+
+            # pass 0 (serial): running sums; elementwise smoother-map
+            # params (B, H) land TRANSPOSED (row t -> trans row
+            # (t % R) * RPC + t // R) so pass 2 reads [RPC, 8, 128]
+            # contiguous slices per within-chunk position.
+            def rel0b_p0(t, rs2):
+                rsv = rs2 + x_scr[t]
+                y = y_scr[t]
+                q = jnp.maximum(rsv * invw, y * y)
+                des = jnp.where(
+                    q > 0.0,
+                    jnp.minimum(target * jax.lax.rsqrt(q), mg), mg,
+                )
+                if isinstance(t, int):
+                    ti = (t % R) * RPC + t // R
+                else:
+                    ti = jax.lax.rem(t, R) * RPC + jax.lax.div(t, R)
+                tr_a[ti] = catt * des
+                tr_b[ti] = jnp.maximum(0.1, des)
+                hi = rsv[4:8]
+                return jnp.concatenate([hi, hi], axis=0)
+
+            rs0 = jnp.concatenate([agc_carry[0:4], agc_carry[0:4]], axis=0)
+            if unroll:
+                for _t in range(mto):
+                    rs0 = rel0b_p0(_t, rs0)
+            else:
+                rs0 = jax.lax.fori_loop(0, mto, rel0b_p0, rs0)
+            agc_carry[0:4] = rs0[0:4]
+
+            # pass 2: within-chunk prefix composition, all chunks at
+            # once ([RPC, ...] slices; lo half then hi half per row).
+            def rel0b_p2(j, acc):
+                Bc, Lc_, Hc = acc
+                sl = pl.ds(j * RPC, RPC)
+                vB = tr_a[sl]
+                vH = tr_b[sl]
+                bl, bh = vB[:, 0:4], vB[:, 4:8]
+                Bl = att * Bc + bl
+                Ll = jnp.maximum(0.1, att * Lc_ + bl)
+                Hl = jnp.minimum(vH[:, 0:4],
+                                 jnp.maximum(0.1, att * Hc + bl))
+                Bh = att * Bl + bh
+                Lh = jnp.maximum(0.1, att * Ll + bh)
+                Hh = jnp.minimum(vH[:, 4:8],
+                                 jnp.maximum(0.1, att * Hl + bh))
+                tr_a[sl] = jnp.concatenate([Bl, Bh], axis=1)
+                tr_b[sl] = jnp.concatenate([Hl, Hh], axis=1)
+                tr_c[sl] = jnp.concatenate([Ll, Lh], axis=1)
+                return (Bh, Lh, Hh)
+
+            z4 = jnp.zeros((RPC, 4, 128), dtv)
+            acc2 = (z4, z4, z4 + mg)
+            if unroll:
+                for _j in range(R):
+                    acc2 = rel0b_p2(_j, acc2)
+            else:
+                acc2 = jax.lax.fori_loop(0, R, rel0b_p2, acc2)
+
+            # pass 3 (serial over the RPC chunks): thread g through the
+            # chunk-total maps; park each chunk's carry-in gain in gb.
+            attR = _ipow(att, 2 * R)
+
+            def rel0b_p3(c, g):
+                gb_scr[c] = jnp.concatenate([g, g], axis=0)
+                row = (R - 1) * RPC + c
+                v = tr_a[row][4:8]
+                L = tr_c[row][4:8]
+                H = tr_b[row][4:8]
+                return jnp.minimum(H, jnp.maximum(L, attR * g + v))
+
+            g = agc_carry[8:12]
+            if unroll:
+                for _c in range(RPC):
+                    g = rel0b_p3(_c, g)
+            else:
+                g = jax.lax.fori_loop(0, RPC, rel0b_p3, g)
+            agc_carry[8:12] = g
+
+            # pass 4: reconstruct every sub-step's gain from its chunk's
+            # carry-in (att^j powers advance as scalar data each step —
+            # the same f32 mults the serial smoother would issue).
+            g0c = gb_scr[...][:, 0:4]
+
+            def rel0b_p4(j, ap):
+                sl = pl.ds(j * RPC, RPC)
+                B = tr_a[sl]
+                L = tr_c[sl]
+                H = tr_b[sl]
+                ap2 = ap * att
+                glo = jnp.minimum(
+                    H[:, 0:4],
+                    jnp.maximum(L[:, 0:4], ap * g0c + B[:, 0:4]),
+                )
+                ghi = jnp.minimum(
+                    H[:, 4:8],
+                    jnp.maximum(L[:, 4:8], ap2 * g0c + B[:, 4:8]),
+                )
+                tr_a[sl] = jnp.concatenate([glo, ghi], axis=1)
+                return ap2 * att
+
+            ap0 = att + jnp.zeros((), dtv)
+            if unroll:
+                ap = ap0
+                for _j in range(R):
+                    ap = rel0b_p4(_j, ap)
+            else:
+                jax.lax.fori_loop(0, R, rel0b_p4, ap0)
+
+            # pass 5: apply the gains in row order.
+            def rel0b_p5(t, _):
+                if isinstance(t, int):
+                    ti = (t % R) * RPC + t // R
+                else:
+                    ti = jax.lax.rem(t, R) * RPC + jax.lax.div(t, R)
+                y_scr[t] = y_scr[t] * tr_a[ti]
+                return 0
+
+            if unroll:
+                for _t in range(mto):
+                    rel0b_p5(_t, 0)
+            else:
+                jax.lax.fori_loop(0, mto, rel0b_p5, 0)
           else:
             # serial stage (agc.rs:397-496): running-sum + peak chains
             # with the desired-gain computer hoisted per AW-group, then
@@ -1303,7 +1529,9 @@ def build_fused_operator(g0, g1, coeffs, *, fr: int, to: int, m: int,
             # i8 byte pieces: the PCM is k/2^15 with k int16, stored as
             # hi = k >> 8 and lo_c = (k & 255) - 128, both int8 (half
             # the chunk bytes of the bf16 int2 pieces). The single dot
-            # reconstructs sum(w * k) EXACTLY:
+            # reconstructs sum(w * k) with every PRODUCT exact and an
+            # f32 accumulator (so <= 1 ulp once |sum w*k| exceeds 2^24
+            # — possible at to > 512 full-scale; ADVICE r4 #1):
             #   tile0 = W * 2^8 (exact in bf16 — a pure exponent shift
             #   of the <= 256 integer weights) against the hi piece,
             #   tile1 = W against lo_c, and the lo byte's +128 offset
@@ -1347,9 +1575,13 @@ def fused_layout(chunks, *, to: int, m: int, firfold: bool = False,
         assert not i8 or npc == 2, "i8 layout is exactly two byte pieces"
         assert to <= 1024, "int-piece path requires integer weights <= 1024"
         # the i8 layout's halved xraw scratch frees enough scoped VMEM
-        # for a fourth chunk per grid step
-        assert m <= (4 if i8 else 3), (
-            "int-piece m exceeds the 16MB VMEM budget"
+        # for a fourth chunk per grid step — validated at to <= 160
+        # (m*to <= 640, the flagship ratio); larger `to` at m = 4 can
+        # exceed the 16 MB scoped-VMEM limit with an opaque Mosaic
+        # error, so the envelope is asserted here (ADVICE r4 #3)
+        assert m <= (4 if i8 and m * to <= 640 else 3), (
+            "int-piece m exceeds the 16MB VMEM budget "
+            f"(m={m}, to={to}; i8 m=4 is validated for m*to <= 640)"
         )
         # weights <= 256 are bf16-exact directly; above that the integer
         # operator splits as w = 4*hi + lo (hi <= to/4 <= 256, lo <= 3,
@@ -1602,7 +1834,7 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
                                   limiter: tuple = None,
                                   lim_state=None,
                                   agc_group: int = 0,
-                                  agc_rel0: bool = False,
+                                  agc_rel0: str = "",
                                   dma_depth: int = 4,
                                   interpret: bool = False):
     """AGC-bearing fused pipeline (see _fused_agc_kernel).
@@ -1629,6 +1861,14 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
     assert not (agc_rel0 and agc_group), (
         "agc_rel0 is the EXACT rel=0 plan; group mode has its own branch"
     )
+    rel0b = agc_rel0.startswith("rel0b")
+    assert agc_rel0 in ("", "rel0", "rel0f") or rel0b
+    rpc = 0
+    if rel0b:
+        rpc = int(agc_rel0[5:]) if len(agc_rel0) > 5 else 8
+        assert rpc in (8, 16, 32, 64) and mto % rpc == 0, (
+            f"rel0b chunk count {rpc} must divide m*to = {mto}"
+        )
     if agc_group:
         assert agc_group >= 2, "agc_group must be >= 2 (or 0 = exact)"
         assert mto % agc_group == 0, (
@@ -1703,7 +1943,12 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
             pltpu.SemaphoreType.DMA((2,)),        # ring reads
             pltpu.SemaphoreType.DMA((2,)),        # ring writes
             pltpu.VMEM((8, 128), dt),             # limiter carries
-        ],
+        ] + ([
+            pltpu.VMEM((mto, 8, 128), dt),        # rel0b B / gains
+            pltpu.VMEM((mto, 8, 128), dt),        # rel0b H
+            pltpu.VMEM((mto, 8, 128), dt),        # rel0b L
+            pltpu.VMEM((rpc, 8, 128), dt),        # rel0b chunk g_in
+        ] if rel0b else []),
         input_output_aliases={11: 3},             # ring in -> ring out
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,

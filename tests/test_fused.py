@@ -713,6 +713,60 @@ def test_fused_agc_serial_plan_nonzero_release(rng):
                                    atol=5e-7, err_msg=f"block {blk}")
 
 
+def test_fused_agc_plans_quick_parity(rng):
+    """QUICK-GATE AGC numeric coverage (ADVICE r4 #2): every in-kernel
+    AGC structural plan (serial / rel0 / rel0f / rel0b) on the same
+    pipeline plus the unfused exact chain, short render. rel0/rel0f
+    match the serial plan to 1-ulp smoother ties (rel0f adds the
+    folded-rsqrt desired gain — same class); rel0b adds the blocked-
+    composition reassociation (~1e-6); all sit inside the documented
+    2e-5 fused-AGC budget vs the unfused chain."""
+    from rodio_tpu.effects.agc import AgcSettings, AutomaticGainControl
+
+    S = 4
+    rng2 = np.random.default_rng(21)
+    wide = (rng2.standard_normal((S * 2, 26460)) * 0.2).astype(np.float32)
+    gains = rng2.uniform(0.5, 1.5, S).astype(np.float32) / S
+
+    outs = {}
+    for plan in ("serial", "rel0", "rel0f", "rel0b"):
+        fused = FusedWidePipeline(
+            SamplesBuffer(S * 2, 44100, wide), 48000, gains, S,
+            with_agc=True, agc_plan=plan,
+        )
+        s = fused.init_state()
+        e = jax.jit(lambda st: fused.emit(st, 640))
+        blocks = []
+        for _ in range(3):
+            s, o, v = e(s)
+            assert int(v) == 640
+            blocks.append(np.asarray(o))
+        outs[plan] = np.concatenate(blocks, axis=1)
+    np.testing.assert_allclose(outs["rel0"], outs["serial"], atol=1e-6)
+    np.testing.assert_allclose(outs["rel0f"], outs["serial"], atol=1e-6)
+    # rel0b measured 3.05e-6 on real TPU (FMA contraction shifts the
+    # blocked-composition reassociation slightly vs this CPU gate)
+    np.testing.assert_allclose(outs["rel0b"], outs["serial"], atol=5e-6)
+
+    # and vs the UNFUSED exact chain (the graph FusedWidePipeline
+    # fuses: resample -> low-pass 2 kHz q=0.5 -> AGC -> gains -> mix)
+    ch = Resample(SamplesBuffer(S * 2, 44100, wide), 48000)
+    ch = BltFilter(ch, "low_pass", 2000.0, 0.5, mode="exact")
+    ch = AutomaticGainControl(ch, AgcSettings(), mode="exact", streams=S)
+    ch = Amplify(ch, np.repeat(gains, 2))
+    ch = WideMixer(ch, S)
+    su = ch.init_state()
+    eu = jax.jit(lambda st: ch.emit(st, 640))
+    ub = []
+    for _ in range(3):
+        su, o, v = eu(su)
+        ub.append(np.asarray(o))
+    ref = np.concatenate(ub, axis=1)
+    for plan in ("serial", "rel0", "rel0f", "rel0b"):
+        np.testing.assert_allclose(outs[plan], ref, atol=2e-5,
+                                   err_msg=plan)
+
+
 @pytest.mark.slow
 def test_fused_agc_group_tracks_exact(rng):
     """Opt-in group-rate AGC (agc_group=8, see the AgcGroup contract in

@@ -157,9 +157,12 @@ def _sample_cfg(seed: int) -> Cfg:
         gain_post=gain_post, dma_depth=int(rng.integers(2, 6)),
         agc=agc, agc_group=agc_group,
         agc_ring=str(rng.choice(["bf16", "f32"])),
-        # rel0 structural plan (round-4): only legal at release_time=0,
-        # i.e. the exact-mode default AgcSettings() this fuzzer uses
-        agc_plan=("rel0" if agc == "exact" and rng.random() < 0.4
+        # rel0 structural plans (round-4/5): only legal at
+        # release_time=0, i.e. the exact-mode default AgcSettings()
+        # this fuzzer uses. rel0b additionally needs 8 | m*to (the
+        # sampler can't see mto yet; _check downgrades it to rel0f).
+        agc_plan=(str(rng.choice(["rel0", "rel0f", "rel0b"]))
+                  if agc == "exact" and rng.random() < 0.55
                   else "auto"),
         content=content,
         freq=float(np.float32(rng.uniform(300.0, 6000.0))),
@@ -204,6 +207,9 @@ def _agc_settings(cfg):
 
 
 def _build_fused(cfg, pcm, gains):
+    if cfg.agc_plan == "rel0b" and _mto(cfg)[0] % 8:
+        # the blocked plan needs 8 | m*to; keep the config otherwise
+        cfg = dataclasses.replace(cfg, agc_plan="rel0f")
     node = SamplesBuffer(cfg.S * cfg.C, cfg.in_rate, pcm)
     return FusedWidePipeline(
         node, cfg.out_rate, gains, cfg.S, "low_pass", cfg.freq, cfg.q,
