@@ -234,6 +234,23 @@ def main():
         ("u4-agc-rel0b-int2T76", dict(firfold=False, lookahead=-4,
                                       agc_plan="rel0b",
                                       precision="int2", _T=7680)),
+        ("u4-agc-rel0b16-int2T76", dict(firfold=False, lookahead=-4,
+                                        agc_plan="rel0b16",
+                                        precision="int2", _T=7680)),
+        ("u4-agc-rel0b32-int2T76", dict(firfold=False, lookahead=-4,
+                                        agc_plan="rel0b32",
+                                        precision="int2", _T=7680)),
+        # rel0c = fully-tiled blocked rel0 (pass 0 + apply become tile
+        # passes; see ops/fused.py)
+        ("u4-agc-rel0c16-int2T76", dict(firfold=False, lookahead=-4,
+                                        agc_plan="rel0c16",
+                                        precision="int2", _T=7680)),
+        ("u4-agc-rel0c8-int2T76", dict(firfold=False, lookahead=-4,
+                                       agc_plan="rel0c8",
+                                       precision="int2", _T=7680)),
+        ("u4-agc-rel0c32-int2T76", dict(firfold=False, lookahead=-4,
+                                        agc_plan="rel0c32",
+                                        precision="int2", _T=7680)),
         ("la4-agc-rel0b-int2T76", dict(firfold=False, lookahead=4,
                                        agc_plan="rel0b",
                                        precision="int2", _T=7680)),

@@ -381,7 +381,8 @@ class FusedWidePipeline(Node):
             # and live-knob rules as rel0.
             assert agc_plan in ("auto", "serial", "rel0", "rel0f",
                                 "rel0b", "rel0b16", "rel0b32",
-                                "rel0b64")
+                                "rel0b64", "rel0c", "rel0c8",
+                                "rel0c16", "rel0c32")
             if agc_plan.startswith("rel0"):
                 assert self._agc_params[1] == 0.0 and not agc_group, (
                     f"agc_plan='{agc_plan}' requires release_time=0 "

@@ -93,6 +93,8 @@ def lib() -> ctypes.CDLL:
               ctypes.c_longlong]),
             ("rtpu_ffs_seek", ctypes.c_int,
              [ctypes.c_void_p, ctypes.c_double]),
+            ("rtpu_ffs_seek_pos", ctypes.c_longlong,
+             [ctypes.c_void_p, ctypes.c_double]),
             ("rtpu_ffs_param_change", ctypes.c_int,
              [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint),
               ctypes.POINTER(ctypes.c_uint)]),
@@ -173,6 +175,48 @@ class FfStream:
         rc = self._L.rtpu_ffs_seek(self._h, float(seconds))
         if rc < 0:
             raise ValueError(f"streaming seek failed (code {rc})")
+
+    def seek_accurate(self, seconds: float = None, *,
+                      frames: int = None) -> int:
+        """Sample-accurate seek: demuxer-coarse keyframe seek, learn the
+        landed position from the first decoded frame's timestamp, then
+        decode-skip to the exact target — the reference's coarse-seek +
+        sample-skip refinement (src/decoder/symphonia.rs:225-330).
+        Target by ``seconds`` or exact ``frames``; returns the frame
+        index actually reached (== the target unless the stream ends
+        first)."""
+        if frames is not None:
+            target = int(frames)
+            req = target / self.sample_rate
+        else:
+            target = int(round(float(seconds) * self.sample_rate))
+            req = float(seconds)
+        # pre-roll: codecs with inter-frame decoder state (the mp3 bit
+        # reservoir carries up to 511 bytes of prior-frame data) decode
+        # the first frame(s) after a mid-stream entry imperfectly; ask
+        # the demuxer for a point ~0.2 s EARLIER so the decoder state
+        # converges inside the skip (the reference's symphonia seek has
+        # the same coarse-then-refine shape and relies on the same
+        # warm-up, src/decoder/symphonia.rs:225-330)
+        req = max(req - 0.2, 0.0)
+        landed = 0
+        for _ in range(4):
+            landed = int(self._L.rtpu_ffs_seek_pos(self._h, max(req, 0.0)))
+            if landed < 0:
+                raise ValueError(f"streaming seek failed (code {landed})")
+            if landed <= target or req <= 0.0:
+                break
+            # demuxer overshoot (VBR index granularity): back off by the
+            # overshoot plus a margin and retry
+            req -= (landed - target) / self.sample_rate + 0.25
+        skip = max(target - landed, 0)
+        while skip > 0:
+            blk = self.read(min(skip, 65536))
+            m = blk.shape[1]
+            if m == 0:
+                break  # stream ended inside the skip
+            skip -= m
+        return target - skip
 
     def close(self) -> None:
         if self._h:

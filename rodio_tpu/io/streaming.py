@@ -24,8 +24,11 @@ from .native import SpscRing
 from .wav import WAVE_FORMAT_EXTENSIBLE, WAVE_FORMAT_IEEE_FLOAT, WAVE_FORMAT_PCM, WavError
 
 
-def _wav_stream_chunks(path: str, chunk_frames: int) -> Iterator[np.ndarray]:
-    """Yield [channels, chunk] f32 chunks from a WAV file incrementally."""
+def _wav_stream_chunks(path: str, chunk_frames: int,
+                       start_frames: int = 0) -> Iterator[np.ndarray]:
+    """Yield [channels, chunk] f32 chunks from a WAV file incrementally.
+    ``start_frames`` seeks SAMPLE-EXACTLY into the data chunk (a byte
+    offset — WAV is constant-rate PCM, so accurate seek is free)."""
     with open(path, "rb") as f:
         riff, _, wave = struct.unpack("<4sI4s", f.read(12))
         if riff != b"RIFF" or wave != b"WAVE":
@@ -52,6 +55,10 @@ def _wav_stream_chunks(path: str, chunk_frames: int) -> Iterator[np.ndarray]:
         bytes_per_sample = bits // 8
         frame_bytes = bytes_per_sample * channels
         remaining = csz
+        if start_frames > 0:
+            skip = min(start_frames * frame_bytes, remaining)
+            f.seek(skip, 1)
+            remaining -= skip
 
         def convert(buf: bytes) -> np.ndarray:
             if tag == WAVE_FORMAT_IEEE_FLOAT and bits == 32:
@@ -319,8 +326,10 @@ class StreamingDecoder(StreamingFeed):
     incremental analog of the reference's packet loop
     (src/decoder/symphonia.rs:336-417).
 
-    ``start_at``/``loop``: seek before the first chunk (demuxer-coarse)
-    and restart at end-of-stream, for long-running farm sources.
+    ``start_at``/``loop``: SAMPLE-ACCURATE seek before the first chunk
+    (demuxer-coarse + decode-skip refinement, the reference's
+    src/decoder/symphonia.rs:225-330 — byte-exact for WAV) and restart
+    at end-of-stream, for long-running farm sources.
     """
 
     def __init__(self, path: str, *, chunk_frames: int = 8192,
@@ -331,11 +340,23 @@ class StreamingDecoder(StreamingFeed):
         ext = os.path.splitext(str(path))[1].lower()
         if ext in (".wav", ".wave"):
             spec = wav_stream_spec(path)
-            producer = _wav_stream_chunks(path, chunk_frames)
-            if start_at or loop:
-                raise ValueError(
-                    "start_at/loop supported on compressed formats only"
-                )
+            start_frames = int(round(start_at * spec.sample_rate))
+            if not (start_at or loop):
+                producer = _wav_stream_chunks(path, chunk_frames)
+            else:
+                def producer_gen():
+                    first = start_frames
+                    while True:
+                        yielded = False
+                        for blk in _wav_stream_chunks(
+                                path, chunk_frames, start_frames=first):
+                            yielded = True
+                            yield blk
+                        if not loop or (not yielded and first == 0):
+                            return
+                        first = 0
+
+                producer = producer_gen()
         else:
             from .native import FfStream
             from .uniform_host import SpanUniformStream
@@ -347,7 +368,7 @@ class StreamingDecoder(StreamingFeed):
             stream = SpanUniformStream(FfStream(path))
             spec = StreamSpec(stream.channels, stream.sample_rate)
             if start_at:
-                stream.seek(start_at)
+                stream.seek_accurate(start_at)
 
             def producer_gen():
                 s = stream

@@ -138,6 +138,25 @@ class _UniformStream:
         self._s.seek(seconds)
         self._reset()
 
+    def seek_accurate(self, seconds: float) -> int:
+        """Accurate seek in OUTPUT time: map the output target to its
+        left input neighbor via the resampler's closed form, seek the
+        source sample-exactly there, and restart the converter phase at
+        the target — so post-seek output frame o is computed from the
+        same input frames (and the same lerp fraction) a from-zero
+        render produces at o."""
+        o0 = int(round(seconds * self.sample_rate))
+        i0 = self._left(o0)
+        if hasattr(self._s, "seek_accurate"):
+            got = self._s.seek_accurate(frames=i0)
+        else:
+            self._s.seek(i0 / self._s.sample_rate)
+            got = i0
+        self._reset()
+        self._o = o0
+        self._base = got
+        return o0
+
     def close(self):
         self._s.close()
 
@@ -211,6 +230,17 @@ class SpanUniformStream:
         self._s.seek(seconds)
         self._fence = _SectionFence(self._s)
         self._conv = None
+
+    def seek_accurate(self, seconds: float = None, *,
+                      frames: int = None) -> int:
+        """Sample-accurate seek (delegates to the decoder's coarse+skip
+        refinement). Seeking lands in whatever chain link covers the
+        target; if its spec differs from the pinned first-link spec, the
+        next read fires the usual span re-bootstrap."""
+        got = self._s.seek_accurate(seconds, frames=frames)
+        self._fence = _SectionFence(self._s)
+        self._conv = None
+        return got
 
     def take_param_change(self):
         return None  # the whole point: the spec never changes

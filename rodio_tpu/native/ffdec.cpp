@@ -268,6 +268,14 @@ struct FfStream {
   bool eof = false;
   int64_t declared_frames = -1;  // mp4 priming trim (see rtpu_ff_decode)
   int64_t emitted = 0;           // frames handed to the caller
+  // sample index (at `rate`) that pts 0 maps to on the EMITTED timeline:
+  // priming codecs (mp3's 1105-sample delay, AAC) trim the head of the
+  // decode, so raw packet pts lead the emitted-sample timeline by the
+  // trim. Learned as rescale(pts(frame_k)) - samples_emitted_before_k
+  // over the first frames (frame 0's own pts is NOT trim-adjusted).
+  // INT64_MIN = not yet learned.
+  int64_t pts_origin = INT64_MIN;
+  bool seeked = false;
   bool is_ogg = false;           // chained-stream switching applies
   AVPacket* pending = nullptr;   // first packet of the NEXT chain link
   int next_stream = -1;
@@ -474,7 +482,100 @@ int rtpu_ffs_seek(void* handle, double seconds) {
   return 0;
 }
 
-int rtpu_ffs_param_change(void* handle, unsigned* out_channels,
+namespace {
+
+// Decode exactly ONE frame into s->frame (1 = frame, 0 = end of stream).
+// Mirrors the packet loop of rtpu_ffs_read without the chained-container
+// handling (a seek already re-bootstraps spans).
+int ffs_next_frame(FfStream* s) {
+  while (!s->eof) {
+    if (!s->draining) {
+      int r = av_read_frame(s->fmt, s->pkt);
+      if (r < 0) {
+        s->draining = true;
+        avcodec_send_packet(s->ctx, nullptr);
+      } else if (s->pkt->stream_index != s->stream_idx) {
+        av_packet_unref(s->pkt);
+        continue;
+      } else {
+        avcodec_send_packet(s->ctx, s->pkt);
+        av_packet_unref(s->pkt);
+      }
+    }
+    int r = avcodec_receive_frame(s->ctx, s->frame);
+    if (r == AVERROR(EAGAIN) || r == AVERROR_EOF || r < 0) {
+      if (r == AVERROR(EAGAIN) && !s->draining) continue;
+      s->eof = true;
+      return 0;
+    }
+    return 1;
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" long long rtpu_ffs_seek_pos(void* handle, double seconds) {
+  // Accurate-seek support (the reference refines its coarse demuxer
+  // seek by decoding and skipping samples up to the requested position,
+  // src/decoder/symphonia.rs:225-330): coarse keyframe-backward seek,
+  // then decode ONE frame to learn the TRUE landed position from its
+  // best-effort timestamp, measured against the stream's PTS ORIGIN
+  // (the timestamp of output sample 0 -- nonzero for priming codecs
+  // like mp3, whose first 1105 samples are trimmed by the skip-samples
+  // side data, so the pts timeline leads the emitted-sample timeline).
+  // The frame is parked in `leftover` so subsequent reads begin exactly
+  // at the returned position; the caller (FfStream.seek_accurate)
+  // read-skips the remaining target - landed frames. Returns the landed
+  // frame index at the current rate, or <0 on error.
+  FfStream* s = (FfStream*)handle;
+  if (!s) return -1;
+  if (s->pts_origin == INT64_MIN) {
+    // learn the origin: decode the first frames from the stream head,
+    // counting emitted samples (the trim shrinks frame 0, so a LATER
+    // frame's pts minus the samples emitted before it gives the true
+    // origin; a few packets of work, once per stream)
+    if (rtpu_ffs_seek(handle, 0.0) < 0) return -1;
+    AVStream* st0 = s->fmt->streams[s->stream_idx];
+    long long emitted_before = 0;
+    s->pts_origin = 0;
+    for (int i = 0; i < 3 && ffs_next_frame(s) > 0; ++i) {
+      int64_t p = s->frame->best_effort_timestamp;
+      if (p != AV_NOPTS_VALUE) {
+        s->pts_origin =
+            av_rescale_q(p, st0->time_base, AVRational{1, (int)s->rate}) -
+            emitted_before;
+      }
+      emitted_before += s->frame->nb_samples;
+    }
+  }
+  if (rtpu_ffs_seek(handle, seconds) < 0) return -1;
+  if (ffs_next_frame(s) > 0) {
+    int64_t pts = s->frame->best_effort_timestamp;
+    long long landed;
+    if (pts == AV_NOPTS_VALUE) {
+      // timestamp-less stream: trust the coarse request (raw formats
+      // without pts also seek sample-exactly in the demuxer)
+      landed = (long long)(seconds * s->rate);
+    } else {
+      AVStream* st = s->fmt->streams[s->stream_idx];
+      landed = av_rescale_q(pts, st->time_base,
+                            AVRational{1, (int)s->rate}) - s->pts_origin;
+      if (landed < 0) landed = 0;  // pre-roll priming before the origin
+    }
+    std::vector<float> buf;
+    if (!append_frame(s->frame, (int)s->channels, buf)) return -2;
+    s->leftover = std::move(buf);
+    s->leftover_pos = 0;
+    s->emitted = landed;
+    return landed;
+  }
+  // the request landed at/after end of stream
+  s->emitted = (long long)(seconds * s->rate);
+  return s->emitted;
+}
+
+extern "C" int rtpu_ffs_param_change(void* handle, unsigned* out_channels,
                           unsigned* out_rate) {
   FfStream* s = (FfStream*)handle;
   if (!s) return -1;

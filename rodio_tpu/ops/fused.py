@@ -790,7 +790,9 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
           # class on the 8192-sample mean).
           yv = y_scr[...]
           sqv = yv * yv
-          packed_ring = agc_rel0 in ("rel0f",) or agc_rel0.startswith("rel0b")
+          packed_ring = (agc_rel0 == "rel0f"
+                         or agc_rel0.startswith("rel0b")
+                         or agc_rel0.startswith("rel0c"))
           if packed_ring:
               plo = sqv[:, 0:4]
               sqv = jnp.concatenate([plo, plo + sqv[:, 4:8]], axis=1)
@@ -913,7 +915,7 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
             agc_carry[0:4] = rs2[0:4]
             # peak rows 4:8 stay untouched (memoryless at rel = 0)
             agc_carry[8:12] = g
-          elif agc_rel0.startswith("rel0b"):
+          elif agc_rel0.startswith("rel0b") or agc_rel0.startswith("rel0c"):
             # rel0b: BLOCKED PARALLEL-IN-TIME rel0 smoother (round-5,
             # VERDICT r4 ask #1). Each rel0 smoother step is
             #   f_i(g) = min(H_i, max(0.1, att*g + B_i)),
@@ -942,39 +944,118 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
             # chain (in-order VPU), not issue-bound; rel0f's −5
             # ops/row measured a 0.0% wash, which is the same
             # diagnosis. Blocking trades issue slots for chain depth.
-            RPC = int(agc_rel0[5:]) if len(agc_rel0) > 5 else 8
-            assert mto % RPC == 0, f"rel0b needs {RPC} | m*to"
+            tiled = agc_rel0.startswith("rel0c")
+            RPC = (int(agc_rel0[5:]) if len(agc_rel0) > 5
+                   else (16 if tiled else 8))
+            assert mto % RPC == 0, f"{agc_rel0} needs {RPC} | m*to"
             R = mto // RPC
             catt = 1.0 - att
 
-            # pass 0 (serial): running sums; elementwise smoother-map
-            # params (B, H) land TRANSPOSED (row t -> trans row
-            # (t % R) * RPC + t // R) so pass 2 reads [RPC, 8, 128]
-            # contiguous slices per within-chunk position.
-            def rel0b_p0(t, rs2):
-                rsv = rs2 + x_scr[t]
-                y = y_scr[t]
-                q = jnp.maximum(rsv * invw, y * y)
+            if tiled:
+                # rel0c (round-5, extends rel0b): the two remaining
+                # mto-step serial row loops — the window running sum
+                # (pass 0) and the gain apply (pass 5) — become
+                # chunk-parallel TILE passes, so every serial stage now
+                # steps over [RPC, 8, 128] tiles (or the tiny boundary
+                # rows), never single rows:
+                #   A. one full-array relayout puts the packed deltas in
+                #      the transposed (position-major) basis;
+                #   P. R tile steps compute per-chunk LOCAL window sums
+                #      (a blocked prefix over the packed hi halves —
+                #      rsv = (R_prev + dlo | R_prev + dlo + dhi), so
+                #      only the hi half carries the recurrence);
+                #   B. RPC boundary steps turn the chunk totals into
+                #      per-chunk base offsets (exclusive prefix on top
+                #      of the window carry);
+                #   C. one full-width pass adds the offsets, computes
+                #      the folded desired gain (one rsqrt over all
+                #      mto rows at once), and emits the B/H maps.
+                # The window sum reassociates per chunk (base + local
+                # vs strictly serial) — the same ulp class as the
+                # blocked smoother composition, inside the documented
+                # AGC budget.
+                def t_nat2tr(v):
+                    return v.reshape(RPC, R, 8, 128).transpose(
+                        1, 0, 2, 3).reshape(mto, 8, 128)
+
+                def t_tr2nat(v):
+                    return v.reshape(R, RPC, 8, 128).transpose(
+                        1, 0, 2, 3).reshape(mto, 8, 128)
+
+                tr_a[...] = t_nat2tr(x_scr[...])
+
+                def relc_prefix(r, acc):
+                    sl = pl.ds(r * RPC, RPC)
+                    v = tr_a[sl]
+                    lo = acc + v[:, 0:4]
+                    acc = acc + v[:, 4:8]
+                    tr_a[sl] = jnp.concatenate([lo, acc], axis=1)
+                    return acc
+
+                z4c = jnp.zeros((RPC, 4, 128), dtv)
+                if unroll:
+                    accp = z4c
+                    for _r in range(R):
+                        accp = relc_prefix(_r, accp)
+                else:
+                    accp = jax.lax.fori_loop(0, R, relc_prefix, z4c)
+
+                def relc_off(c, base):
+                    gb_scr[c] = jnp.concatenate([base, base], axis=0)
+                    return base + accp[c]
+
+                if unroll:
+                    bse = agc_carry[0:4]
+                    for _c in range(RPC):
+                        bse = relc_off(_c, bse)
+                else:
+                    bse = jax.lax.fori_loop(
+                        0, RPC, relc_off, agc_carry[0:4]
+                    )
+                agc_carry[0:4] = bse
+
+                off = gb_scr[...]
+                rsv_t = tr_a[...] + jnp.broadcast_to(
+                    off[None], (R, RPC, 8, 128)).reshape(mto, 8, 128)
+                yt = t_nat2tr(y_scr[...])
+                q = jnp.maximum(rsv_t * invw, yt * yt)
                 des = jnp.where(
                     q > 0.0,
                     jnp.minimum(target * jax.lax.rsqrt(q), mg), mg,
                 )
-                if isinstance(t, int):
-                    ti = (t % R) * RPC + t // R
-                else:
-                    ti = jax.lax.rem(t, R) * RPC + jax.lax.div(t, R)
-                tr_a[ti] = catt * des
-                tr_b[ti] = jnp.maximum(0.1, des)
-                hi = rsv[4:8]
-                return jnp.concatenate([hi, hi], axis=0)
-
-            rs0 = jnp.concatenate([agc_carry[0:4], agc_carry[0:4]], axis=0)
-            if unroll:
-                for _t in range(mto):
-                    rs0 = rel0b_p0(_t, rs0)
+                tr_a[...] = catt * des
+                tr_b[...] = jnp.maximum(0.1, des)
             else:
-                rs0 = jax.lax.fori_loop(0, mto, rel0b_p0, rs0)
-            agc_carry[0:4] = rs0[0:4]
+                # pass 0 (serial): running sums; elementwise smoother-map
+                # params (B, H) land TRANSPOSED (row t -> trans row
+                # (t % R) * RPC + t // R) so pass 2 reads [RPC, 8, 128]
+                # contiguous slices per within-chunk position.
+                def rel0b_p0(t, rs2):
+                    rsv = rs2 + x_scr[t]
+                    y = y_scr[t]
+                    q = jnp.maximum(rsv * invw, y * y)
+                    des = jnp.where(
+                        q > 0.0,
+                        jnp.minimum(target * jax.lax.rsqrt(q), mg), mg,
+                    )
+                    if isinstance(t, int):
+                        ti = (t % R) * RPC + t // R
+                    else:
+                        ti = jax.lax.rem(t, R) * RPC + jax.lax.div(t, R)
+                    tr_a[ti] = catt * des
+                    tr_b[ti] = jnp.maximum(0.1, des)
+                    hi = rsv[4:8]
+                    return jnp.concatenate([hi, hi], axis=0)
+
+                rs0 = jnp.concatenate(
+                    [agc_carry[0:4], agc_carry[0:4]], axis=0
+                )
+                if unroll:
+                    for _t in range(mto):
+                        rs0 = rel0b_p0(_t, rs0)
+                else:
+                    rs0 = jax.lax.fori_loop(0, mto, rel0b_p0, rs0)
+                agc_carry[0:4] = rs0[0:4]
 
             # pass 2: within-chunk prefix composition, all chunks at
             # once ([RPC, ...] slices; lo half then hi half per row).
@@ -1055,20 +1136,24 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
             else:
                 jax.lax.fori_loop(0, R, rel0b_p4, ap0)
 
-            # pass 5: apply the gains in row order.
-            def rel0b_p5(t, _):
-                if isinstance(t, int):
-                    ti = (t % R) * RPC + t // R
-                else:
-                    ti = jax.lax.rem(t, R) * RPC + jax.lax.div(t, R)
-                y_scr[t] = y_scr[t] * tr_a[ti]
-                return 0
-
-            if unroll:
-                for _t in range(mto):
-                    rel0b_p5(_t, 0)
+            # pass 5: apply the gains.
+            if tiled:
+                # one full-width multiply after relayout to row order
+                y_scr[...] = y_scr[...] * t_tr2nat(tr_a[...])
             else:
-                jax.lax.fori_loop(0, mto, rel0b_p5, 0)
+                def rel0b_p5(t, _):
+                    if isinstance(t, int):
+                        ti = (t % R) * RPC + t // R
+                    else:
+                        ti = jax.lax.rem(t, R) * RPC + jax.lax.div(t, R)
+                    y_scr[t] = y_scr[t] * tr_a[ti]
+                    return 0
+
+                if unroll:
+                    for _t in range(mto):
+                        rel0b_p5(_t, 0)
+                else:
+                    jax.lax.fori_loop(0, mto, rel0b_p5, 0)
           else:
             # serial stage (agc.rs:397-496): running-sum + peak chains
             # with the desired-gain computer hoisted per AW-group, then
@@ -1861,13 +1946,15 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
     assert not (agc_rel0 and agc_group), (
         "agc_rel0 is the EXACT rel=0 plan; group mode has its own branch"
     )
-    rel0b = agc_rel0.startswith("rel0b")
+    rel0b = (agc_rel0.startswith("rel0b")
+             or agc_rel0.startswith("rel0c"))
     assert agc_rel0 in ("", "rel0", "rel0f") or rel0b
     rpc = 0
     if rel0b:
-        rpc = int(agc_rel0[5:]) if len(agc_rel0) > 5 else 8
+        rpc = (int(agc_rel0[5:]) if len(agc_rel0) > 5
+               else (16 if agc_rel0.startswith("rel0c") else 8))
         assert rpc in (8, 16, 32, 64) and mto % rpc == 0, (
-            f"rel0b chunk count {rpc} must divide m*to = {mto}"
+            f"{agc_rel0} chunk count {rpc} must divide m*to = {mto}"
         )
     if agc_group:
         assert agc_group >= 2, "agc_group must be >= 2 (or 0 = exact)"

@@ -79,21 +79,20 @@ def _wire_decode(block, wire):
     return block
 
 
-class StreamFarm:
-    """N file paths -> one mixed stereo output via streaming decode.
+class HostDecodePool:
+    """N compressed files -> per-stream host FIFOs refilled by a worker
+    pool, with accurate per-stream seek — the HOST half of the farm,
+    factored out so :class:`StreamFarm` (single device) and the sharded
+    farm (:mod:`rodio_tpu.parallel.sharded_farm`) share one decode/feed
+    engine. All files must share (channels, sample_rate); heterogeneous
+    corpora uniformize per stream at ingest (the reference runs every
+    queued source through a UniformSourceIterator,
+    src/source/uniform.rs:33)."""
 
-    All files must share (channels, sample_rate). ``start_offsets``
-    staggers each stream's start (demuxer-coarse seek); ``loop`` restarts
-    streams at EOF so the farm runs indefinitely.
-    """
-
-    def __init__(self, paths: Sequence[str], *, out_rate: int = 48000,
-                 block_frames: int = 4096, gains=None,
-                 low_pass: Optional[float] = 2000.0,
+    def __init__(self, paths: Sequence[str], *, out_rate: int,
+                 chunk_frames: int = 8192, decode_workers: int = 8,
                  start_offsets: Optional[Sequence[float]] = None,
-                 loop: bool = True, chunk_frames: int = 8192,
-                 decode_workers: int = 8, wire: str = "f32",
-                 fused: bool = False):
+                 loop: bool = True):
         from ..io.native import FfStream
         from ..io.uniform_host import SpanUniformStream
 
@@ -105,17 +104,14 @@ class StreamFarm:
             # link's spec (span re-bootstrap at every boundary)
             s = SpanUniformStream(FfStream(p))
             if start_offsets is not None and start_offsets[i]:
-                s.seek(start_offsets[i])
+                s.seek_accurate(start_offsets[i])
             self._streams.append(s)
         specs = {(s.channels, s.sample_rate) for s in self._streams}
         if len(specs) != 1:
-            # heterogeneous corpus: uniformize per stream at ingest (the
-            # reference runs every queued source through a
-            # UniformSourceIterator, src/source/uniform.rs:33) — each
-            # stream is host-lerp-resampled ONCE straight to the farm's
-            # output rate and positionally rechanneled, so the device
-            # chain runs identity-rate and the per-stream math matches a
-            # per-stream engine Uniform chain
+            # each stream is host-lerp-resampled ONCE straight to the
+            # farm's output rate and positionally rechanneled, so the
+            # device chain runs identity-rate and the per-stream math
+            # matches a per-stream engine Uniform chain
             C = max(c for c, _ in specs)
             self._streams = [
                 _UniformStream(s, C, out_rate)
@@ -127,6 +123,190 @@ class StreamFarm:
             C, in_rate = (self._streams[0].channels,
                           self._streams[0].sample_rate)
         self.spec_in = StreamSpec(C, in_rate)
+        self.n_streams = S
+        self.loop = loop
+        self.chunk_frames = chunk_frames
+
+        self._fifos = [collections.deque() for _ in range(S)]
+        self._fifo_frames = [0] * S
+        self._fifo_lock = threading.Condition()
+        self._alive = [True] * S
+        self._inflight = set()
+        import concurrent.futures as cf
+
+        self._pool = cf.ThreadPoolExecutor(max_workers=decode_workers)
+
+    def _refill_one(self, i: int):
+        # any decode/seek error marks the stream dead (the reference
+        # skips decode errors, src/decoder/symphonia.rs:366-372; a farm
+        # stream that cannot produce more frames simply ends) — and the
+        # finally ALWAYS clears the in-flight mark, or _pop_frames would
+        # wait forever on a stream whose refill died
+        blk = None
+        try:
+            s = self._streams[i]
+            blk = s.read(self.chunk_frames)
+            if blk.shape[1] < self.chunk_frames and self.loop:
+                parts = [blk]
+                got = blk.shape[1]
+                while got < self.chunk_frames:
+                    s.seek(0.0)
+                    more = s.read(self.chunk_frames - got)
+                    if more.shape[1] == 0:
+                        break
+                    parts.append(more)
+                    got += more.shape[1]
+                blk = np.concatenate(parts, axis=1)
+        except Exception:
+            import logging
+
+            logging.getLogger("rodio_tpu.farm").warning(
+                "stream %d refill failed; marking it ended", i,
+                exc_info=True,
+            )
+        finally:
+            with self._fifo_lock:
+                if blk is not None and blk.shape[1]:
+                    self._fifos[i].append(blk)
+                    self._fifo_frames[i] += blk.shape[1]
+                else:
+                    self._alive[i] = False
+                self._inflight.discard(i)
+                self._fifo_lock.notify_all()
+
+    def schedule_refills(self, threshold: int):
+        with self._fifo_lock:
+            todo = [
+                i for i in range(self.n_streams)
+                if self._alive[i] and i not in self._inflight
+                and self._fifo_frames[i] < threshold
+            ]
+            self._inflight.update(todo)
+        for i in todo:
+            self._pool.submit(self._refill_one, i)
+
+    def _pop_frames(self, i: int, n: int) -> np.ndarray:
+        """Pop exactly n frames from stream i's FIFO, BLOCKING while a
+        live stream's refill is in flight (host backpressure — the feed
+        never silently substitutes silence for late decode). Exhausted
+        streams pad with zeros (the stream has truly ended)."""
+        parts = []
+        got = 0
+        with self._fifo_lock:
+            while got < n:
+                while (self._fifo_frames[i] == 0 and self._alive[i]):
+                    if i not in self._inflight:
+                        self._inflight.add(i)
+                        self._pool.submit(self._refill_one, i)
+                    self._fifo_lock.wait(timeout=10.0)
+                if self._fifo_frames[i] == 0:
+                    break  # stream ended
+                blk = self._fifos[i][0]
+                take = min(n - got, blk.shape[1])
+                parts.append(blk[:, :take])
+                if take == blk.shape[1]:
+                    self._fifos[i].popleft()
+                else:
+                    self._fifos[i][0] = blk[:, take:]
+                self._fifo_frames[i] -= take
+                got += take
+        if got < n:
+            parts.append(
+                np.zeros((self.spec_in.channels, n - got), np.float32)
+            )
+        return np.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+    def prime(self):
+        """Synchronously fill the host FIFOs before the first step."""
+        import concurrent.futures as cf
+
+        with self._fifo_lock:
+            todo = [i for i in range(self.n_streams)
+                    if i not in self._inflight]
+            self._inflight.update(todo)
+        cf.wait([self._pool.submit(self._refill_one, i) for i in todo])
+
+    def assemble_frames(self, n: int) -> np.ndarray:
+        """[S*C, n] wide block from the per-stream FIFOs (stream-major
+        rows, so a shard's streams are a contiguous row range)."""
+        out = np.empty((self.n_streams * self.spec_in.channels, n),
+                       np.float32)
+        C = self.spec_in.channels
+        for i in range(self.n_streams):
+            out[i * C : (i + 1) * C] = self._pop_frames(i, n)
+        return out
+
+    def try_seek(self, stream: int, seconds: float) -> int:
+        """SAMPLE-ACCURATE live seek of one farm stream — the farm-scale
+        analog of the reference's try_seek on a playing source
+        (src/source/mod.rs try_seek; refine semantics
+        src/decoder/symphonia.rs:225-330). Drops the stream's host FIFO
+        and repositions its decoder exactly; frames already pushed to
+        the device window (~1-2 blocks) play out first, exactly like the
+        reference's cpal transfer buffer draining after a seek. Returns
+        the frame index reached. A failed seek marks the stream ended
+        (SeekError semantics: the rest of the farm is intact)."""
+        with self._fifo_lock:
+            while stream in self._inflight:
+                self._fifo_lock.wait(timeout=10.0)
+            self._inflight.add(stream)  # block refills during the seek
+            self._fifos[stream].clear()
+            self._fifo_frames[stream] = 0
+        got = -1
+        ok = False
+        try:
+            s = self._streams[stream]
+            if hasattr(s, "seek_accurate"):
+                got = s.seek_accurate(seconds)
+            else:
+                s.seek(seconds)
+                got = int(round(seconds * self.spec_in.sample_rate))
+            ok = True
+        except Exception:
+            import logging
+
+            logging.getLogger("rodio_tpu.farm").warning(
+                "stream %d seek(%s) failed; marking it ended",
+                stream, seconds, exc_info=True,
+            )
+        finally:
+            with self._fifo_lock:
+                self._inflight.discard(stream)
+                self._alive[stream] = ok
+                self._fifo_lock.notify_all()
+        return got
+
+    def close(self):
+        self._pool.shutdown(wait=False)
+        for s in self._streams:
+            s.close()
+
+
+class StreamFarm:
+    """N file paths -> one mixed stereo output via streaming decode.
+
+    All files must share (channels, sample_rate). ``start_offsets``
+    staggers each stream's start (sample-accurate seek); ``loop``
+    restarts streams at EOF so the farm runs indefinitely.
+    """
+
+    def __init__(self, paths: Sequence[str], *, out_rate: int = 48000,
+                 block_frames: int = 4096, gains=None,
+                 low_pass: Optional[float] = 2000.0,
+                 start_offsets: Optional[Sequence[float]] = None,
+                 loop: bool = True, chunk_frames: int = 8192,
+                 decode_workers: int = 8, wire: str = "f32",
+                 fused: bool = False):
+        self._host = HostDecodePool(
+            paths, out_rate=out_rate, chunk_frames=chunk_frames,
+            decode_workers=decode_workers, start_offsets=start_offsets,
+            loop=loop,
+        )
+        self.paths = self._host.paths
+        self._streams = self._host._streams
+        self.spec_in = self._host.spec_in
+        C, in_rate = self.spec_in.channels, self.spec_in.sample_rate
+        S = self._host.n_streams
         self.n_streams = S
         self.loop = loop
         self.chunk_frames = chunk_frames
@@ -211,118 +391,28 @@ class StreamFarm:
             chain = WideMixer(chain, S)
             self.master = Limit(chain, LimitSettings(), mode="auto")
 
-        # host-side per-stream FIFOs + refill pool
-        self._fifos = [collections.deque() for _ in range(S)]
-        self._fifo_frames = [0] * S
-        self._fifo_lock = threading.Condition()
-        self._alive = [True] * S
-        self._inflight = set()
-        import concurrent.futures as cf
-
-        self._pool = cf.ThreadPoolExecutor(max_workers=decode_workers)
         self._port_path = None
 
-    # ---- host decode side ----
-
-    def _refill_one(self, i: int):
-        # any decode/seek error marks the stream dead (the reference
-        # skips decode errors, src/decoder/symphonia.rs:366-372; a farm
-        # stream that cannot produce more frames simply ends) — and the
-        # finally ALWAYS clears the in-flight mark, or _pop_frames would
-        # wait forever on a stream whose refill died
-        blk = None
-        try:
-            s = self._streams[i]
-            blk = s.read(self.chunk_frames)
-            if blk.shape[1] < self.chunk_frames and self.loop:
-                parts = [blk]
-                got = blk.shape[1]
-                while got < self.chunk_frames:
-                    s.seek(0.0)
-                    more = s.read(self.chunk_frames - got)
-                    if more.shape[1] == 0:
-                        break
-                    parts.append(more)
-                    got += more.shape[1]
-                blk = np.concatenate(parts, axis=1)
-        except Exception:
-            import logging
-
-            logging.getLogger("rodio_tpu.farm").warning(
-                "stream %d refill failed; marking it ended", i,
-                exc_info=True,
-            )
-        finally:
-            with self._fifo_lock:
-                if blk is not None and blk.shape[1]:
-                    self._fifos[i].append(blk)
-                    self._fifo_frames[i] += blk.shape[1]
-                else:
-                    self._alive[i] = False
-                self._inflight.discard(i)
-                self._fifo_lock.notify_all()
+    # ---- host decode side (delegated to HostDecodePool) ----
 
     def _schedule_refills(self, threshold: int):
-        with self._fifo_lock:
-            todo = [
-                i for i in range(self.n_streams)
-                if self._alive[i] and i not in self._inflight
-                and self._fifo_frames[i] < threshold
-            ]
-            self._inflight.update(todo)
-        for i in todo:
-            self._pool.submit(self._refill_one, i)
+        self._host.schedule_refills(threshold)
 
     def _pop_frames(self, i: int, n: int) -> np.ndarray:
-        """Pop exactly n frames from stream i's FIFO, BLOCKING while a
-        live stream's refill is in flight (host backpressure — the feed
-        never silently substitutes silence for late decode). Exhausted
-        streams pad with zeros (the stream has truly ended)."""
-        parts = []
-        got = 0
-        with self._fifo_lock:
-            while got < n:
-                while (self._fifo_frames[i] == 0 and self._alive[i]):
-                    if i not in self._inflight:
-                        self._inflight.add(i)
-                        self._pool.submit(self._refill_one, i)
-                    self._fifo_lock.wait(timeout=10.0)
-                if self._fifo_frames[i] == 0:
-                    break  # stream ended
-                blk = self._fifos[i][0]
-                take = min(n - got, blk.shape[1])
-                parts.append(blk[:, :take])
-                if take == blk.shape[1]:
-                    self._fifos[i].popleft()
-                else:
-                    self._fifos[i][0] = blk[:, take:]
-                self._fifo_frames[i] -= take
-                got += take
-        if got < n:
-            parts.append(
-                np.zeros((self.spec_in.channels, n - got), np.float32)
-            )
-        return np.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        return self._host._pop_frames(i, n)
+
+    def try_seek(self, stream: int, seconds: float) -> int:
+        """See :meth:`HostDecodePool.try_seek` (sample-accurate live
+        seek of one farm stream)."""
+        return self._host.try_seek(stream, seconds)
 
     def assemble_push_block(self) -> np.ndarray:
         """[S*C, push_frames] wide block from the per-stream FIFOs."""
-        n = self._push
-        out = np.empty((self.n_streams * self.spec_in.channels, n),
-                       np.float32)
-        C = self.spec_in.channels
-        for i in range(self.n_streams):
-            out[i * C : (i + 1) * C] = self._pop_frames(i, n)
-        return out
+        return self._host.assemble_frames(self._push)
 
     def prime(self, blocks: int = 2):
         """Synchronously fill the host FIFOs before the first step."""
-        import concurrent.futures as cf
-
-        with self._fifo_lock:
-            todo = [i for i in range(self.n_streams)
-                    if i not in self._inflight]
-            self._inflight.update(todo)
-        cf.wait([self._pool.submit(self._refill_one, i) for i in todo])
+        self._host.prime()
 
     # ---- device side ----
 
@@ -417,12 +507,7 @@ class StreamFarm:
         return prime_push, step
 
     def _assemble_frames(self, n: int) -> np.ndarray:
-        out = np.empty((self.n_streams * self.spec_in.channels, n),
-                       np.float32)
-        C = self.spec_in.channels
-        for i in range(self.n_streams):
-            out[i * C : (i + 1) * C] = self._pop_frames(i, n)
-        return out
+        return self._host.assemble_frames(n)
 
     def _run_fused(self, n_blocks: int, on_block):
         """Fused device path: every host block pushes exactly Kp chunks
@@ -560,6 +645,4 @@ class StreamFarm:
         return out, count
 
     def close(self):
-        self._pool.shutdown(wait=False)
-        for s in self._streams:
-            s.close()
+        self._host.close()

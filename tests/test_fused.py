@@ -729,7 +729,7 @@ def test_fused_agc_plans_quick_parity(rng):
     gains = rng2.uniform(0.5, 1.5, S).astype(np.float32) / S
 
     outs = {}
-    for plan in ("serial", "rel0", "rel0f", "rel0b"):
+    for plan in ("serial", "rel0", "rel0f", "rel0b", "rel0c8"):
         fused = FusedWidePipeline(
             SamplesBuffer(S * 2, 44100, wide), 48000, gains, S,
             with_agc=True, agc_plan=plan,
@@ -747,6 +747,7 @@ def test_fused_agc_plans_quick_parity(rng):
     # rel0b measured 3.05e-6 on real TPU (FMA contraction shifts the
     # blocked-composition reassociation slightly vs this CPU gate)
     np.testing.assert_allclose(outs["rel0b"], outs["serial"], atol=5e-6)
+    np.testing.assert_allclose(outs["rel0c8"], outs["serial"], atol=5e-6)
 
     # and vs the UNFUSED exact chain (the graph FusedWidePipeline
     # fuses: resample -> low-pass 2 kHz q=0.5 -> AGC -> gains -> mix)
@@ -762,7 +763,7 @@ def test_fused_agc_plans_quick_parity(rng):
         su, o, v = eu(su)
         ub.append(np.asarray(o))
     ref = np.concatenate(ub, axis=1)
-    for plan in ("serial", "rel0", "rel0f", "rel0b"):
+    for plan in ("serial", "rel0", "rel0f", "rel0b", "rel0c8"):
         np.testing.assert_allclose(outs[plan], ref, atol=2e-5,
                                    err_msg=plan)
 

@@ -161,8 +161,8 @@ def _sample_cfg(seed: int) -> Cfg:
         # release_time=0, i.e. the exact-mode default AgcSettings()
         # this fuzzer uses. rel0b additionally needs 8 | m*to (the
         # sampler can't see mto yet; _check downgrades it to rel0f).
-        agc_plan=(str(rng.choice(["rel0", "rel0f", "rel0b"]))
-                  if agc == "exact" and rng.random() < 0.55
+        agc_plan=(str(rng.choice(["rel0", "rel0f", "rel0b", "rel0c"]))
+                  if agc == "exact" and rng.random() < 0.6
                   else "auto"),
         content=content,
         freq=float(np.float32(rng.uniform(300.0, 6000.0))),
@@ -207,9 +207,14 @@ def _agc_settings(cfg):
 
 
 def _build_fused(cfg, pcm, gains):
-    if cfg.agc_plan == "rel0b" and _mto(cfg)[0] % 8:
-        # the blocked plan needs 8 | m*to; keep the config otherwise
-        cfg = dataclasses.replace(cfg, agc_plan="rel0f")
+    need = {"rel0b": 8, "rel0c": 16}.get(cfg.agc_plan)
+    if need and _mto(cfg)[0] % need:
+        # blocked plans need their chunk count to divide m*to; keep the
+        # config otherwise
+        cfg = dataclasses.replace(
+            cfg, agc_plan="rel0c8" if (cfg.agc_plan == "rel0c"
+                                       and _mto(cfg)[0] % 8 == 0)
+            else "rel0f")
     node = SamplesBuffer(cfg.S * cfg.C, cfg.in_rate, pcm)
     return FusedWidePipeline(
         node, cfg.out_rate, gains, cfg.S, "low_pass", cfg.freq, cfg.q,
