@@ -190,12 +190,17 @@ def main():
     # run is already AGC-on (BENCH_AGC=1).
     if (os.environ.get("BENCH_AGC_ON", "1") == "1"
             and os.environ.get("BENCH_AGC", "0") != "1"):
-        agc_plan_on = os.environ.get("BENCH_AGC_ON_PLAN", "rel0f")
+        # measured-best AGC config (round-5 interleaved ladder): the
+        # blocked rel0 smoother at RPC=16 on int2 (282.9 us/block) beats
+        # i8+rel0f (289.0) — under AGC the kernel is compute-bound on
+        # the smoother chain, so i8's DMA savings don't pay and chain
+        # blocking does
+        agc_plan_on = os.environ.get("BENCH_AGC_ON_PLAN", "rel0b16")
         node_a, state_a = make_flagship(
             n_streams, seconds=seconds, scan_mode=scan_mode,
             source_pcm=pcm, with_agc=True, max_block=max(T, 8192),
             agc_plan=agc_plan_on, m=m, dma_depth=dma_depth,
-            precision=os.environ.get("BENCH_PRECISION", "auto"),
+            precision=os.environ.get("BENCH_AGC_ON_PRECISION", "int2"),
         )
         pipe_a = node_a if isinstance(node_a, FusedWidePipeline) \
             else getattr(node_a, "input", None)

@@ -63,6 +63,19 @@ def _set_path(state, path, value):
     return {**state, path[0]: _set_path(state[path[0]], path[1:], value)}
 
 
+def _wire_encode(block: np.ndarray, wire: str) -> np.ndarray:
+    """Host-side wire encode (see the wire-format notes on StreamFarm)."""
+    if wire == "i16":
+        return np.clip(block * 32768.0, -32768, 32767).astype(np.int16)
+    if wire == "i24":
+        q = np.clip(np.rint(block * 8388608.0), -8388608,
+                    8388607).astype("<i4")
+        return np.ascontiguousarray(
+            q.view(np.uint8).reshape(*q.shape, 4)[..., :3]
+        )
+    return block
+
+
 def _wire_decode(block, wire):
     """Device-side wire decode (inside the push jits): uint8-packed wire
     formats back to f32. i24 is little-endian 3-byte two's-complement."""
@@ -463,15 +476,7 @@ class StreamFarm:
         return push_only
 
     def _encode(self, block: np.ndarray) -> np.ndarray:
-        if self.wire == "i16":
-            return np.clip(block * 32768.0, -32768, 32767).astype(np.int16)
-        if self.wire == "i24":
-            q = np.clip(np.rint(block * 8388608.0), -8388608,
-                        8388607).astype("<i4")
-            return np.ascontiguousarray(
-                q.view(np.uint8).reshape(*q.shape, 4)[..., :3]
-            )
-        return block
+        return _wire_encode(block, self.wire)
 
     def _in_left(self, o: int) -> int:
         """Input frame index feeding output frame o (the resampler's

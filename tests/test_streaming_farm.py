@@ -457,3 +457,83 @@ def test_i24_wire_codec_roundtrip():
     dec = np.asarray(_wire_decode(jnp.asarray(enc), "i24"))
     np.testing.assert_allclose(dec, x, atol=2.0 ** -24)
     np.testing.assert_array_equal(dec[0, :66], x[0, :66])
+
+
+@pytest.mark.slow
+def test_sharded_stream_farm_matches_single_device():
+    """The LIVE-FEED farm at multi-chip scale (VERDICT r4 ask #3): 8
+    distinct file streams decode on the host, shard over the 8-virtual-
+    device mesh (per-chip chunk rings, per-chip fused mega-kernel, psum
+    mix), and the output matches the single-device fused StreamFarm over
+    the same files to the mix-order bound (per-chip partial mixes + psum
+    reassociate the 16-lane sum; same 2e-6 class as the sharded
+    pipeline's ==-dense gate)."""
+    _skip_without_native()
+    from rodio_tpu.parallel.farm import StreamFarm
+    from rodio_tpu.parallel.sharded_farm import ShardedStreamFarm
+    from rodio_tpu.parallel.sharding import stream_mesh
+
+    import jax
+
+    mesh = stream_mesh(jax.devices()[:8])
+    paths = [ASSET] * 8
+    offsets = [0.25 * i for i in range(8)]  # distinct content per stream
+
+    blocks_a = []
+    farm = StreamFarm(paths, block_frames=1280, loop=False,
+                      decode_workers=4, fused=True,
+                      start_offsets=offsets)
+    valid_a, energy_a, ovf_a = farm.run(
+        6, on_block=lambda k, o, v: blocks_a.append(np.asarray(o)))
+    farm.close()
+    a = np.concatenate(blocks_a, axis=1)
+
+    blocks_b = []
+    sfarm = ShardedStreamFarm(paths, mesh, block_frames=1280, loop=False,
+                              decode_workers=4, start_offsets=offsets)
+    valid_b, energy_b, ovf_b = sfarm.run(
+        6, on_block=lambda k, o, v: blocks_b.append(np.asarray(o)))
+    sfarm.close()
+    b = np.concatenate(blocks_b, axis=1)
+
+    assert not ovf_a and not ovf_b
+    assert valid_a == valid_b == 6 * 1280
+    assert energy_a > 0
+    np.testing.assert_allclose(a, b, atol=2e-6)
+
+    # the chain state is genuinely sharded across the 8 devices
+    leaf = jax.tree_util.tree_leaves(sfarm._final_state["chain"])[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+@pytest.mark.slow
+def test_sharded_stream_farm_i16_wire_and_seek():
+    """Sharded farm with the i16 wire (lossless int2 ring for
+    16-bit-sourced flac) + a pre-run accurate try_seek on one stream:
+    equals the single-device fused farm configured identically."""
+    _skip_without_native()
+    from rodio_tpu.parallel.farm import StreamFarm
+    from rodio_tpu.parallel.sharded_farm import ShardedStreamFarm
+    from rodio_tpu.parallel.sharding import stream_mesh
+
+    import jax
+
+    mesh = stream_mesh(jax.devices()[:4])
+    paths = [ASSET] * 4
+
+    farm = StreamFarm(paths, block_frames=1280, loop=False,
+                      decode_workers=4, fused=True, wire="i16")
+    farm.try_seek(2, 1.5)
+    blocks_a = []
+    farm.run(4, on_block=lambda k, o, v: blocks_a.append(np.asarray(o)))
+    farm.close()
+    a = np.concatenate(blocks_a, axis=1)
+
+    sfarm = ShardedStreamFarm(paths, mesh, block_frames=1280,
+                              loop=False, decode_workers=4, wire="i16")
+    sfarm.try_seek(2, 1.5)
+    blocks_b = []
+    sfarm.run(4, on_block=lambda k, o, v: blocks_b.append(np.asarray(o)))
+    sfarm.close()
+    b = np.concatenate(blocks_b, axis=1)
+    np.testing.assert_allclose(a, b, atol=2e-6)
