@@ -217,6 +217,48 @@ def main():
             if isinstance(pipe_a, FusedWidePipeline) else "?",
         }
 
+    # CONTENT LADDER (VERDICT r4 weak #4 / ask #5): the headline feeds
+    # music.wav (16-bit grid -> the lossless i8 byte-piece class); the
+    # unfavorable classes need driver-tracked numbers too. Derive a
+    # 24-bit-grid master (odd int24 requantization of the same PCM,
+    # ~-138 dB from the original -> auto resolves the 3-byte-piece i24
+    # layout) and a float master (irrational rescale fills the f32
+    # mantissas -> auto falls back to the exact int3 piece layout).
+    # Lighter runs (half the blocks): the rows are informational; the
+    # vs_baseline number stays the headline's.
+    if (os.environ.get("BENCH_CONTENT_LADDER", "1") == "1"
+            and pcm is not None
+            and os.environ.get("BENCH_AGC", "0") != "1"):
+        import numpy as _np
+
+        k24 = _np.rint(pcm.astype(_np.float64) * 8388608.0)
+        k24 = _np.where(k24 % 2 == 0, _np.clip(k24 + 1, None, 8388607),
+                        k24)
+        pcm24 = (k24 / 8388608.0).astype(_np.float32)
+        pcmf = (pcm.astype(_np.float64) * 0.73070283).astype(_np.float32)
+        nb_l = max(n_blocks // 2, 8)
+        line["content_ladder"] = {}
+        for row, pc in (("24bit", pcm24), ("float", pcmf)):
+            node_l, state_l = make_flagship(
+                n_streams, seconds=seconds, scan_mode=scan_mode,
+                source_pcm=pc, max_block=max(T, 8192),
+                precision="auto", m="auto", dma_depth="auto",
+            )
+            pipe_l = node_l if isinstance(node_l, FusedWidePipeline) \
+                else getattr(node_l, "input", None)
+            tl_a, _, _ = _run_scan(node_l, state_l, T, nb_l, r1)
+            tl_b, e_l, v_l = _run_scan(node_l, state_l, T, nb_l, r2)
+            assert v_l == nb_l * T and e_l > 0
+            pb_l = (tl_b - tl_a) / ((r2 - r1) * nb_l)
+            line["content_ladder"][row] = {
+                "value": round(audio_seconds_per_block / pb_l, 1),
+                "per_block_us": round(pb_l * 1e6, 2),
+                "precision": pipe_l.precision
+                if isinstance(pipe_l, FusedWidePipeline) else "?",
+                "m": pipe_l.m
+                if isinstance(pipe_l, FusedWidePipeline) else 0,
+            }
+
     # on-hardware parity gate (VERDICT r2 #6): every driver bench also
     # records the config-1..4 + hot-kernel deviations vs the refimpl
     # oracle and regenerates PARITY_TPU.md, so a TPU-only numerical

@@ -89,26 +89,31 @@ def _int16_grid_exact(data) -> bool:
 
 
 def _content_probe(input_node) -> tuple:
-    """(int16_grid_exact, two_piece_exact) for the node's PCM, computed
+    """(int16_grid_exact, int24_grid_exact, two_piece_exact) for the
+    node's PCM, computed
     in ONE fused device pass with ONE readback and CACHED on the node
     (ADVICE r4 #4: the auto-precision path ran both probes as separate
     blocking full-buffer reductions per constructed pipeline — build
     latency growing with content length)."""
     data = getattr(input_node, "_data", None)
     if data is None:
-        return (False, False)
+        return (False, False, False)
     cached = getattr(input_node, "_content_probe_cache", None)
     if cached is not None:
         return cached
     s = data * 32768.0  # exact: a pure exponent shift in f32
     k = jnp.rint(s)
     g16 = jnp.all((s == k) & (k >= -32768.0) & (k <= 32767.0))
+    s24 = data * 8388608.0
+    k24 = jnp.rint(s24)
+    g24 = jnp.all((s24 == k24) & (k24 >= -8388608.0)
+                  & (k24 <= 8388607.0))
     p1 = data.astype(jnp.bfloat16).astype(data.dtype)
     r = data - p1
     p2 = r.astype(jnp.bfloat16).astype(data.dtype)
     tp = jnp.all(r == p2)
-    res = np.asarray(jnp.stack([g16, tp]))  # single device round trip
-    out = (bool(res[0]), bool(res[1]))
+    res = np.asarray(jnp.stack([g16, g24, tp]))  # one device round trip
+    out = (bool(res[0]), bool(res[1]), bool(res[2]))
     try:
         input_node._content_probe_cache = out
     except Exception:
@@ -186,11 +191,17 @@ class FusedWidePipeline(Node):
             precision = "int3" if self.to <= 1024 else "highest"
             if (precision == "int3" and firfold is not True
                     and (with_agc or gain_post is not False)):
-                g16, tp2 = _content_probe(input_node)
+                g16, g24, tp2 = _content_probe(input_node)
                 if g16:
                     # 16-bit-grid content: int8 BYTE pieces — lossless
                     # at half int2's chunk DMA traffic (1/3 of int3's)
                     precision = "i8"
+                    self.gain_post = not with_agc
+                elif g24:
+                    # 24-bit-grid content (24-bit masters): three int8
+                    # pieces — information-lossless at 3/4 of int2's
+                    # chunk bytes (round-5, VERDICT r4 ask #5)
+                    precision = "i24"
                     self.gain_post = not with_agc
                 elif tp2:
                     precision = "int2"
@@ -203,21 +214,30 @@ class FusedWidePipeline(Node):
                 "(k / 2^15) — off-grid samples would be silently rounded"
             )
             self.gain_post = gp_ok
+        elif precision == "i24":
+            assert firfold is not True, "i24 and firfold are exclusive"
+            assert self.to <= 1024, "i24 rides the int-piece path"
+            assert _content_probe(input_node)[1], (
+                "precision='i24' needs content exactly on the int24 grid "
+                "(k / 2^23) — off-grid samples would be silently rounded"
+            )
+            self.gain_post = gp_ok
         elif (precision == "int2" and gp_ok and gain_post == "auto"):
             # explicit int2 keeps the round-2 folded layout unless the
             # content is piece-exact (then raw chunks cost nothing and
             # remove the fold's residual from the parity budget)
-            self.gain_post = _content_probe(input_node)[1]
+            self.gain_post = _content_probe(input_node)[2]
         if gain_post is True or gain_post is False:
             # explicit override (bench A/B isolation); valid for any
             # content — only the int2 LOSSLESSNESS claim needs the probe
             self.gain_post = bool(gain_post) and gp_ok
-        if precision == "i8" and not with_agc:
-            # i8 chunks must stay RAW: a gain fold would move the PCM
-            # off the int16 grid and the byte split would silently round
+        if precision in ("i8", "i24") and not with_agc:
+            # int8-piece chunks must stay RAW: a gain fold would move
+            # the PCM off the sample grid and the byte split would
+            # silently round
             assert self.gain_post, (
-                "i8 requires gain_post (raw chunks); use int3/int2 for "
-                "a folded-gain layout"
+                f"{precision} requires gain_post (raw chunks); use "
+                "int3/int2 for a folded-gain layout"
             )
         if m == "auto":
             # m=3 chunks/grid-step fits the 16 MB scoped-VMEM limit only
@@ -230,7 +250,7 @@ class FusedWidePipeline(Node):
             # budget there) with the deeper 4-slot pipeline.
             if precision == "i8" and self.to <= 160 and not with_agc:
                 m = 4
-            elif (precision in ("int2", "i8") and self.to <= 320
+            elif (precision in ("int2", "i8", "i24") and self.to <= 320
                     and not with_agc):
                 m = 3
             else:
@@ -252,15 +272,16 @@ class FusedWidePipeline(Node):
             # u8 regresses at m=3 (wider rows + 3-chunk VMEM pressure);
             # unrolled-4 measured best there (BENCHMARKS.md round-3)
             lookahead = -4
-        if precision in ("int3", "int2", "i8") and self.to > 320:
+        if precision in ("int3", "int2", "i8", "i24") and self.to > 320:
             self.m = 1  # VMEM budget for large-`to` grids
         self.precision = precision
         self.lookahead = _resolve_lookahead(lookahead, self.m * self.to)
         #: boundary-frame folding (padding-row g1 term); int-piece only
-        self.bfold = precision in ("int3", "int2", "i8")
+        self.bfold = precision in ("int3", "int2", "i8", "i24")
         #: chunk row padding: i8 parks its two constant-1 bias rows at
         #: fr+1 / fr+2, so it needs >= 3 padding rows past fr
-        self._frp = -(-(self.from_ + (3 if precision == "i8" else 1))
+        self._frp = -(-(self.from_
+                        + {"i8": 3, "i24": 4}.get(precision, 1))
                       // 16) * 16
         if firfold == "auto":
             # FIR-fold (u-form IIR + weight-folded FIR) measured SLOWER
@@ -490,6 +511,26 @@ class FusedWidePipeline(Node):
             lo = ((k & 255) - 128).astype(jnp.int8)
             lo = lo.at[:, fr + 1, :].set(1).at[:, fr + 2, :].set(1)
             chunks = jnp.stack([hi, lo], axis=1)
+        elif self.precision == "i24":
+            # THREE int8 byte pieces of the exact int24 sample
+            # k = x * 2^23 (content is 24-bit-grid-exact by
+            # construction): b2 = k >> 16, b1/b0 offset-bytes, so
+            # k = 2^16 b2 + 2^8 b1 + b0 + 128*257. The bias rides
+            # three constant-1 operand rows at fr+1..fr+3 of the b0
+            # piece against the operator's 3-way bias-column split
+            # (ops/fused.py build_fused_operator i24 branch) — 3/4 of
+            # int2's chunk bytes, half of int3's; every product exact,
+            # f32-accumulated (same <= 1 ulp class as i8, documented
+            # ~5e-7 parity budget).
+            k = jnp.rint(chunks * 8388608.0).astype(jnp.int32)
+            b2 = jax.lax.shift_right_arithmetic(
+                k, jnp.int32(16)).astype(jnp.int8)
+            b1 = (((k >> 8) & 255) - 128).astype(jnp.int8)
+            b0 = ((k & 255) - 128).astype(jnp.int8)
+            b0 = (b0.at[:, fr + 1, :].set(1)
+                  .at[:, fr + 2, :].set(1)
+                  .at[:, fr + 3, :].set(1))
+            chunks = jnp.stack([b2, b1, b0], axis=1)
         elif self.precision in ("int3", "int2"):
             # exact bf16 piece split: 3 pieces reproduce all 24 f32
             # mantissa bits bitwise; 2 pieces ("int2") drop the last
@@ -566,7 +607,8 @@ class FusedWidePipeline(Node):
 
         fr = self.from_
         fr_p = self._frp
-        npc = {"int3": 3, "int2": 2, "i8": 2}.get(self.precision, 1)
+        npc = {"int3": 3, "int2": 2, "i8": 2,
+               "i24": 3}.get(self.precision, 1)
         wsplit = (npc > 1) and self.to > 256 and not self.firfold
         return build_fused_operator(
             self._rs._G0, self._rs._g1, coeffs, fr=fr, to=self.to,

@@ -117,6 +117,7 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                   binary_mix: bool = False, bfold: bool = False,
                   wsplit: bool = False, firfold: bool = False,
                   ufir: bool = False, i8: bool = False,
+                  pcm_bits: int = 15,
                   ring_chunks: int = 0, limiter: tuple = None,
                   gain_post: bool = False, nslot: int = 3):
     _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
@@ -125,7 +126,7 @@ def _fused_kernel(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 m=m, to=to, precision=precision, int3=int3,
                 lookahead=lookahead, subblk=subblk, binary_mix=binary_mix,
                 bfold=bfold, wsplit=wsplit, firfold=firfold, ufir=ufir,
-                i8=i8, ring_chunks=ring_chunks,
+                i8=i8, pcm_bits=pcm_bits, ring_chunks=ring_chunks,
                 ab_ref=ab_ref, corr_scr=corr_scr, nslot=nslot,
                 gv_ref=gv_ref, gain_post=gain_post,
                 limiter=limiter, lim_ref=lim_ref,
@@ -144,7 +145,8 @@ def _fused_agc_kernel(c0_ref, k0_ref, agcp_ref, c_ref, chunks_ref, xn_ref,
                       lookahead: int, rs_slots: int, lag: int,
                       bfold: bool = False, wsplit: bool = False,
                       firfold: bool = False, ufir: bool = False,
-                      i8: bool = False, ring_chunks: int = 0,
+                      i8: bool = False, pcm_bits: int = 15,
+                      ring_chunks: int = 0,
                       limiter: tuple = None, agc_group: int = 0,
                       agc_rel0: str = "",
                       nslot: int = 3):
@@ -163,7 +165,7 @@ def _fused_agc_kernel(c0_ref, k0_ref, agcp_ref, c_ref, chunks_ref, xn_ref,
                 m=m, to=to, precision=precision, int3=int3,
                 lookahead=lookahead,
                 bfold=bfold, wsplit=wsplit, firfold=firfold, ufir=ufir,
-                i8=i8, ring_chunks=ring_chunks,
+                i8=i8, pcm_bits=pcm_bits, ring_chunks=ring_chunks,
                 agc=True, agcp_ref=agcp_ref,
                 k0_ref=k0_ref, agc_ref=agc_ref, ring_ref=ring_ref,
                 out_agc_ref=out_agc_ref, agc_carry=agc_carry,
@@ -185,7 +187,7 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                 binary_mix: bool = False, bfold: bool = False,
                 wsplit: bool = False, firfold: bool = False,
                 ufir: bool = False, i8: bool = False,
-                ring_chunks: int = 0,
+                pcm_bits: int = 15, ring_chunks: int = 0,
                 limiter: tuple = None, lim_ref=None, out_lim_ref=None,
                 limc=None,
                 gv_ref=None, gain_post: bool = False,
@@ -410,8 +412,8 @@ def _fused_body(c0_ref, c_ref, chunks_ref, xn_ref, g0t_ref, g1_ref,
                     # i8: the dot yields integer sums sum(w*k); the
                     # 2^-15 sample scale folds into this one constant
                     # (exact exponent shift — bit-identical results)
-                    yk = acc * ((1.0 / (to * 32768.0)) if i8
-                                else (1.0 / to))
+                    yk = acc * ((1.0 / (to * float(1 << pcm_bits)))
+                                if i8 else (1.0 / to))
             else:
                 assert not i8, "i8 requires the bfold layout"
                 yk = acc * (1.0 / to) + g1col * xnk
@@ -1437,8 +1439,9 @@ def build_fused_operator(g0, g1, coeffs, *, fr: int, to: int, m: int,
     ops and the weight build inside the render scan body)."""
     int3 = npc > 1
     mto = m * to
-    assert precision != "i8" or (int3 and bfold and not firfold), (
-        "i8 is a two-int8-piece bfold layout; firfold has its own "
+    assert precision not in ("i8", "i24") or (
+        int3 and bfold and not firfold), (
+        "i8/i24 are int8-piece bfold layouts; firfold has its own "
         "weight stacking"
     )
     b0, b1, b2, a1, a2 = (jnp.asarray(v, dt) for v in coeffs)
@@ -1638,6 +1641,43 @@ def build_fused_operator(g0, g1, coeffs, *, fr: int, to: int, m: int,
                 [t0.astype(jnp.bfloat16), t1.astype(jnp.bfloat16)],
                 axis=1,
             )
+        elif precision == "i24":
+            # i24 byte pieces (round-5, VERDICT r4 ask #5): the PCM is
+            # k/2^23 with k int24, stored as b2 = k >> 16,
+            # b1 = ((k >> 8) & 255) - 128, b0 = (k & 255) - 128 — three
+            # int8 pieces (3 B/sample of chunk DMA: half int3's bf16
+            # bytes, 3/4 of int2's) reconstructing
+            # k = 2^16 b2 + 2^8 b1 + b0 + 128*(2^8 + 1). One dot over
+            # the three tiles [W*2^16 | W*2^8 | W+bias] computes
+            # sum(w*k): every product exact (piece magnitudes <= 2^15
+            # before the exponent-shift scales), f32-accumulated (the
+            # cross-scale sum rounds to <= 1 ulp relative — the same
+            # class as the i8 layout past 2^24; within the documented
+            # ~5e-7 parity budget). The +128*(257) bias rides THREE
+            # bias columns fr+1..fr+3 of the b0 tile (B = 128*257*to
+            # needs up to 24 mantissa bits -> exact 3-way bf16 split)
+            # against constant-1 operand rows the wrapper plants in the
+            # b0 piece. Downstream the only change is the 1/(to*2^23)
+            # output scale.
+            assert bfold, "i24 needs the bfold layout (rowsum = to)"
+            assert fr_p >= fr + 4, "i24 needs three bias padding rows"
+            B = np.float64(128.0) * 257.0 * to
+            p1B = float(jnp.asarray(np.float32(B), jnp.bfloat16))
+            r1B = np.float64(B) - p1B
+            p2B = float(jnp.asarray(np.float32(r1B), jnp.bfloat16))
+            r2B = np.float64(r1B) - p2B
+            p3B = float(jnp.asarray(np.float32(r2B), jnp.bfloat16))
+            assert r2B == p3B, "i24 bias must split into 3 bf16 pieces"
+            rows = slice(to, 2 * to) if wsplit else slice(0, to)
+            t0 = (g1w.at[rows, fr + 1].set(p1B)
+                  .at[rows, fr + 2].set(p2B)
+                  .at[rows, fr + 3].set(p3B))
+            g0t = jnp.concatenate(
+                [(g1w * 65536.0).astype(jnp.bfloat16),
+                 (g1w * 256.0).astype(jnp.bfloat16),
+                 t0.astype(jnp.bfloat16)],
+                axis=1,
+            )
         else:
             g0t = jnp.concatenate([g1w.astype(jnp.bfloat16)] * npc, axis=1)
     else:
@@ -1657,14 +1697,16 @@ def fused_layout(chunks, *, to: int, m: int, firfold: bool = False,
         Nc, npc, fr_p, _ = chunks.shape
         i8 = chunks.dtype == jnp.int8
         assert npc in (2, 3) and (i8 or chunks.dtype == jnp.bfloat16)
-        assert not i8 or npc == 2, "i8 layout is exactly two byte pieces"
+        # int8 pieces: npc=2 is the 16-bit "i8" layout, npc=3 the
+        # 24-bit "i24" layout (round-5; still fewer chunk bytes than
+        # the 2-piece bf16 int2 layout: 3 B/sample vs 4)
         assert to <= 1024, "int-piece path requires integer weights <= 1024"
         # the i8 layout's halved xraw scratch frees enough scoped VMEM
         # for a fourth chunk per grid step — validated at to <= 160
         # (m*to <= 640, the flagship ratio); larger `to` at m = 4 can
         # exceed the 16 MB scoped-VMEM limit with an opaque Mosaic
         # error, so the envelope is asserted here (ADVICE r4 #3)
-        assert m <= (4 if i8 and m * to <= 640 else 3), (
+        assert m <= (4 if i8 and npc == 2 and m * to <= 640 else 3), (
             "int-piece m exceeds the 16MB VMEM budget "
             f"(m={m}, to={to}; i8 m=4 is validated for m*to <= 640)"
         )
@@ -1695,16 +1737,20 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
     int3, Nc, npc, fr_p, wsplit = fused_layout(
         chunks, to=to, m=m, firfold=firfold, subblk=subblk
     )
-    i8 = precision == "i8"
+    i8 = precision in ("i8", "i24")
     assert i8 == (chunks.dtype == jnp.int8), (
-        "precision='i8' if and only if the chunks are int8 byte pieces"
+        "precision='i8'/'i24' if and only if the chunks are int8 pieces"
     )
     if i8:
-        assert bfold and not firfold, (
-            "i8 requires the bfold layout and the non-firfold weight form"
+        assert npc == (3 if precision == "i24" else 2), (
+            "i8 is two byte pieces, i24 is three"
         )
-        assert fr_p >= fr + 3, (
-            "i8 needs two bias padding rows (fr_p >= fr + 3)"
+        assert bfold and not firfold, (
+            f"{precision} requires the bfold layout and the non-firfold "
+            "weight form"
+        )
+        assert fr_p >= fr + (4 if precision == "i24" else 3), (
+            f"{precision} needs its bias padding rows"
         )
     if firfold:
         # FIR-fold constraints: the boundary frame must ride the padding
@@ -1749,11 +1795,13 @@ def _prepare(chunks, c0, xn_t, g0, g1, mixmat, coeffs, bq_state,
             "default": jax.lax.Precision.DEFAULT,
             "int3": jax.lax.Precision.DEFAULT,
             "int2": jax.lax.Precision.DEFAULT,
-            "i8": jax.lax.Precision.DEFAULT}[precision]
+            "i8": jax.lax.Precision.DEFAULT,
+            "i24": jax.lax.Precision.DEFAULT}[precision]
     return dict(int3=int3, fr_p=fr_p, K=K, dt=dt, st=st, g1p=g1p, c=c,
                 c0=c0, g0t=g0t, mixt=mixt, prec=prec, chunks=chunks,
                 n_t=K // m, ab=ab, n_corr=CP, npc=npc,
-                bfold=bfold, wsplit=wsplit, i8=i8)
+                bfold=bfold, wsplit=wsplit, i8=i8,
+                pcm_bits=23 if precision == "i24" else 15)
 
 
 def _common_in_specs(P, mem, K):
@@ -1849,7 +1897,8 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
             # the bfold kernel folds the gain into its existing 1/to
             # scale pass (zero extra cost) — pre-divide here (i8 dots
             # yield integer sums, so the 2^-15 sample scale rides too)
-            gains = gains * ((1.0 / (to * 32768.0)) if P["i8"]
+            gains = gains * ((1.0 / (to * float(1 << P["pcm_bits"])))
+                             if P["i8"]
                              else (1.0 / to))
     else:
         gains = jnp.ones((8, 128), dt)
@@ -1866,6 +1915,7 @@ def fused_resample_biquad_mix(chunks, c0, xn_t, g0, g1, mixmat, coeffs,
                           subblk=subblk, binary_mix=binary_mix,
                           bfold=P["bfold"], wsplit=P["wsplit"],
                           firfold=firfold, ufir=ufir, i8=P["i8"],
+                          pcm_bits=P["pcm_bits"],
                           ring_chunks=ring_chunks,
                           limiter=limiter, gain_post=gain_post,
                           nslot=dma_depth),
@@ -2003,7 +2053,8 @@ def fused_resample_biquad_agc_mix(chunks, c0, k0, xn_t, g0, g1, mixmat,
             int3=P["int3"], lookahead=lookahead,
             rs_slots=rs_slots, lag=lag, bfold=P["bfold"],
             wsplit=P["wsplit"], firfold=firfold, ufir=ufir,
-            i8=P["i8"], ring_chunks=ring_chunks, limiter=limiter,
+            i8=P["i8"], pcm_bits=P["pcm_bits"],
+            ring_chunks=ring_chunks, limiter=limiter,
             agc_group=agc_group, agc_rel0=agc_rel0, nslot=dma_depth,
         ),
         grid=(n_t,),

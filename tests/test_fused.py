@@ -288,8 +288,11 @@ def test_fused_gain_post_int2_lossless_content(rng):
     exact chain at the int3 tolerance class."""
     S, C, frames = 8, 2, 44100
     k = rng.integers(-32768, 32768, size=(S * C, frames))
-    # k/2^15 scaled by a power of two: exactly 16-bit-significand f32
-    wide = (k / 32768.0 * 0.125).astype(np.float32)
+    # k/2^15 scaled by a power of two: exactly 16-bit-significand f32.
+    # Scale 2^-10 (k/2^25) keeps the content OFF the int24 grid — the
+    # i24 byte-piece probe (round-5) outranks int2 on any 24-bit-grid
+    # content, so this test pins the pure two-piece path.
+    wide = (k / 32768.0 / 1024.0).astype(np.float32)
     gains = rng.uniform(0.5, 1.5, S).astype(np.float32) / S
     fused = FusedWidePipeline(
         SamplesBuffer(S * C, 44100, wide), 48000, gains, S,
@@ -320,6 +323,14 @@ def test_fused_gain_post_int2_lossless_content(rng):
     f3 = FusedWidePipeline(SamplesBuffer(S * C, 44100, wide), 48000,
                            gains, S, with_agc=True)
     assert f3.precision == "int2" and not f3.gain_post
+
+    # 16-bit-significand content that ALSO sits on the int24 grid
+    # (k/2^18) is caught by the i24 byte-piece probe first — 3 B/sample
+    # beats int2's 4 (round-5 auto-preference)
+    g24 = (k / 32768.0 * 0.125).astype(np.float32)
+    f4 = FusedWidePipeline(SamplesBuffer(S * C, 44100, g24), 48000,
+                           gains, S)
+    assert f4.precision == "i24" and f4.gain_post
 
 
 def test_fused_i8_byte_pieces_lossless_content(rng):
@@ -857,3 +868,56 @@ def test_fused_unrolled_serial_matches_fori(rng, with_agc, agc_group):
             blocks.append(np.asarray(o))
         outs[la] = np.concatenate(blocks, axis=1)
     np.testing.assert_allclose(outs[4], outs[-4], atol=5e-7)
+
+
+def test_fused_i24_byte_pieces_match_unfused(rng):
+    """The i24 3-byte-piece layout (round-5, VERDICT r4 ask #5): content
+    exactly on the int24 grid (but NOT the int16 grid) auto-selects
+    precision='i24' and matches the unfused exact chain within the
+    full-scale 1e-6 class; the explicit int3 render of the same content
+    agrees to the same class (both reconstruct the identical samples)."""
+    S, C = 4, 2
+    r = np.random.default_rng(99)
+    k = r.integers(-4194304, 4194304, size=(S * C, 26460)) * 2 + 1
+    wide = (k / 8388608.0).astype(np.float32)
+    gains = r.uniform(0.5, 1.5, S).astype(np.float32) / S
+
+    fused = FusedWidePipeline(
+        SamplesBuffer(S * C, 44100, wide), 48000, gains, S,
+        "low_pass", 2000.0, 0.5,
+    )
+    assert fused.precision == "i24", fused.precision
+
+    f3 = FusedWidePipeline(
+        SamplesBuffer(S * C, 44100, wide), 48000, gains, S,
+        "low_pass", 2000.0, 0.5, precision="int3",
+    )
+
+    ch = Resample(SamplesBuffer(S * C, 44100, wide), 48000)
+    ch = BltFilter(ch, "low_pass", 2000.0, 0.5, mode="exact")
+    ch = Amplify(ch, np.repeat(gains, C))
+    ch = WideMixer(ch, S)
+
+    sf, s3, su = fused.init_state(), f3.init_state(), ch.init_state()
+    ef = jax.jit(lambda s: fused.emit(s, 640))
+    e3 = jax.jit(lambda s: f3.emit(s, 640))
+    eu = jax.jit(lambda s: ch.emit(s, 640))
+    for blk in range(4):
+        sf, of, vf = ef(sf)
+        s3, o3, v3 = e3(s3)
+        su, ou, vu = eu(su)
+        assert int(vf) == int(vu) == 640
+        # full-scale content: the 4x grid16/grid24 calibration applies
+        np.testing.assert_allclose(np.asarray(of), np.asarray(ou),
+                                   atol=4e-6, err_msg=f"blk {blk} vs unfused")
+        np.testing.assert_allclose(np.asarray(of), np.asarray(o3),
+                                   atol=4e-6, err_msg=f"blk {blk} vs int3")
+
+
+def test_fused_i24_rejects_off_grid(rng):
+    wide = (rng.standard_normal((8, 8000)) * 0.2).astype(np.float32)
+    with pytest.raises(AssertionError, match="int24 grid"):
+        FusedWidePipeline(
+            SamplesBuffer(8, 44100, wide), 48000,
+            np.full(4, 0.25, np.float32), 4, precision="i24",
+        )

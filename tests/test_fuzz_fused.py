@@ -101,7 +101,8 @@ def _sample_cfg(seed: int) -> Cfg:
     m = int(rng.integers(1, min(m_max, 3) + 1))
     mto = m * to
 
-    precision = str(rng.choice(["auto", "int3", "int2", "highest", "i8"]))
+    precision = str(rng.choice(
+        ["auto", "int3", "int2", "highest", "i8", "i24"]))
     firfold = bool(rng.random() < 0.15 and agc == "off" and to >= 2)
     if firfold and precision not in ("int3", "int2"):
         precision = "int3"
@@ -136,14 +137,17 @@ def _sample_cfg(seed: int) -> Cfg:
 
     gain_post = "auto"
     if agc == "off" and not firfold:
-        pool = (["auto", True] if precision == "i8"
-                else ["auto", True, False])  # i8 chunks must stay raw
+        pool = (["auto", True] if precision in ("i8", "i24")
+                else ["auto", True, False])  # int8 chunks must stay raw
         gain_post = rng.choice(pool)
         gain_post = bool(gain_post) if gain_post != "auto" else "auto"
 
-    content = str(rng.choice(["noise", "noise", "quant16", "grid16"]))
+    content = str(rng.choice(
+        ["noise", "noise", "quant16", "grid16", "grid24"]))
     if precision == "i8":
         content = "grid16"  # the i8 probe asserts int16-grid content
+    elif precision == "i24":
+        content = "grid24"  # the i24 probe asserts int24-grid content
     T = mto * int(rng.integers(2, 4))
     # the AGC ring must wrap: render past the 4096-frame window lag
     blocks = (-(-5200 // T) + 1) if agc != "off" else 4
@@ -190,6 +194,11 @@ def _content(cfg):
         # probe passes; precision="auto" resolves to i8 on this content
         k = rng.integers(-32768, 32768, size=(wide, frames))
         pcm = (k / 32768.0).astype(np.float32)
+    elif cfg.content == "grid24":
+        # exactly on the int24 grid but NOT the int16 grid (odd k):
+        # precision="auto" resolves to the 3-byte-piece i24 layout
+        k = rng.integers(-4194304, 4194304, size=(wide, frames)) * 2 + 1
+        pcm = (k / 8388608.0).astype(np.float32)
     else:
         pcm = (rng.standard_normal((wide, frames)) * 0.15).astype(
             np.float32
@@ -342,12 +351,12 @@ def _tolerance(cfg):
         tol = 2e-6     # u-form reassociation class (test_fused)
     if cfg.precision == "int2" and cfg.content != "quant16":
         tol = 4e-6     # documented int2 worst-case class
-    if cfg.content == "grid16":
+    if cfg.content in ("grid16", "grid24"):
         # f32 rounding is RELATIVE to signal amplitude; the 1e-6 class
         # above is calibrated on 0.15-0.25-amplitude content, while
-        # grid16 is full-scale (peak 1.0). Verified 4.0x exactly: seed
-        # 41's minimal config measures 2.21e-6 on grid16 and 5.51e-7
-        # with the same kernel on 0.25-scale quant16.
+        # grid16/grid24 are full-scale (peak 1.0). Verified 4.0x
+        # exactly: seed 41's minimal config measures 2.21e-6 on grid16
+        # and 5.51e-7 with the same kernel on 0.25-scale quant16.
         tol *= 4.0
     if cfg.q > 0.8:
         # resonant feedback integrates the CPU test host's 1-ulp FMA-
