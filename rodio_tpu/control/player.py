@@ -86,12 +86,17 @@ class Player:
 
     def __init__(self, mixer_handle: Mixer, *, block_frames: int = 256):
         self.queue_tx, self.queue_rx = queue(True, block_frames=block_frames)
+        self.queue_rx.on_start = self._on_sound_start
         self.block_frames = block_frames
         self._mixer = mixer_handle
         self._volume = 1.0
         self._paused = False
         self._stopped = False
         self._speed = 1.0
+        #: skip_one marks queued-but-not-started sounds for clearing —
+        #: the reference's to_clear counter, consumed at each sound's
+        #: first periodic access (src/player.rs:144-151)
+        self._pending_clear = 0
         self._signals: List[List[bool]] = []
         self._detached = False
 
@@ -152,12 +157,28 @@ class Player:
         return wrapped
 
     # -- knobs --
+    @staticmethod
+    def _control_state(state) -> Optional[dict]:
+        """Find the PlayerControl sub-state (the dict holding the knob
+        fields) inside a possibly nested chain state — a mid-block
+        rate stitch wraps the control node in an extra Uniform stage
+        (queue.py _go_next), nesting its state one level down."""
+        if not isinstance(state, dict):
+            return None
+        if "paused" in state and "stopped" in state:
+            return state
+        for v in state.values():
+            found = Player._control_state(v)
+            if found is not None:
+                return found
+        return None
+
     def _apply(self, **updates):
         cur = self.queue_rx.current
         if cur is None:
             return
-        state = cur["state"]
-        if isinstance(state, dict):
+        state = self._control_state(cur["state"])
+        if state is not None:
             for k, v in updates.items():
                 if k in state:
                     state[k] = (
@@ -165,6 +186,33 @@ class Player:
                         if hasattr(state[k], "dtype")
                         else v
                     )
+
+    def _on_sound_start(self, cur: dict) -> None:
+        """Land the live knobs on a newly-started sound. The reference
+        applies the shared Controls at every sound's FIRST periodic
+        access (src/player.rs:138-165), so volume/pause/speed changed
+        between append and start take effect before its first sample;
+        without this, each PlayerControl would keep its append-time
+        knob snapshot."""
+        state = self._control_state(cur["state"])
+        if state is not None:
+            updates = [("volume", self._volume), ("paused", self._paused)]
+            if self._pending_clear > 0:
+                # a skip_one issued before this sound started: consume
+                # one pending clear and end it before its first sample
+                # (the reference's to_clear, src/player.rs:144-151)
+                self._pending_clear -= 1
+                cur["skip_marked"] = True
+                updates.append(("stopped", True))
+            for k, v in updates:
+                if k in state:
+                    state[k] = (
+                        jnp.asarray(v, dtype=state[k].dtype)
+                        if hasattr(state[k], "dtype")
+                        else v
+                    )
+        if getattr(cur["node"], "speed", self._speed) != self._speed:
+            self.set_speed(self._speed)
 
     def play(self):
         self._paused = False
@@ -255,13 +303,36 @@ class Player:
         self._stopped = True
         self._apply(stopped=True)
         self.queue_tx.clear()
+        # dropped pending sounds can never consume their clears — don't
+        # let stale marks kill sounds appended after the stop
+        self._pending_clear = 0
 
     def skip_one(self):
-        """End the current sound; the queue advances (src/player.rs:287)."""
-        self._apply(stopped=True)
+        """End one sound: the current one (the queue advances next
+        block), or — when the current is already skip-marked — the next
+        queued sound at its start. Mirrors the reference's to_clear
+        accounting, which queues a clear only while live sounds
+        outnumber pending clears (src/player.rs:299-306)."""
+        cur = self.queue_rx.current
+        alive = len(self.queue_tx.next_sounds)
+        marked = 0
+        if cur is not None:
+            if cur.get("skip_marked"):
+                marked = 1
+            else:
+                alive += 1
+        if alive <= self._pending_clear + marked:
+            return  # nothing left to skip
+        if cur is not None and not cur.get("skip_marked"):
+            cur["skip_marked"] = True
+            self._apply(stopped=True)
+        else:
+            self._pending_clear += 1
 
     def clear(self):
+        """Drop every loaded sound and pause (src/player.rs:283-293)."""
         self.queue_tx.clear()
+        self._pending_clear = 0
         self.skip_one()
         self._paused = True
 
@@ -320,10 +391,14 @@ class Player:
         cur["ended"] = False
 
     def len(self) -> int:
+        """Live sound count; skipped sounds leave it IMMEDIATELY, like
+        the reference's sound_count (src/player.rs:299-306), even
+        though they drain from the queue a block later."""
         n = len(self.queue_tx.next_sounds)
-        if self.queue_rx.current is not None:
+        cur = self.queue_rx.current
+        if cur is not None and not cur.get("skip_marked"):
             n += 1
-        return n
+        return max(0, n - self._pending_clear)
 
     def empty(self) -> bool:
         return self.len() == 0

@@ -67,6 +67,12 @@ class SourcesQueueOutput:
         self.input = input_queue
         self.block_frames = block_frames
         self.current: Optional[dict] = None
+        #: optional hook fired when a queued sound becomes current — the
+        #: block analog of the reference applying shared controls at
+        #: every sound's FIRST periodic access (src/player.rs:138-165);
+        #: the Player uses it to land knobs changed between append and
+        #: start before the sound's first sample
+        self.on_start: Optional[Callable[[dict], None]] = None
         self.signal_after_end: Optional[List[bool]] = None
         #: (period_frames, countdown, fn) periodic host hooks — the block
         #: analog of PeriodicAccess (src/source/periodic.rs:14-86)
@@ -129,6 +135,8 @@ class SourcesQueueOutput:
             "ended": False,
         }
         self.signal_after_end = signal
+        if self.on_start is not None:
+            self.on_start(self.current)
         return True
 
     def _pull_current(self) -> Optional[np.ndarray]:

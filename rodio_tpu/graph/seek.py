@@ -89,6 +89,28 @@ def _chain_block_cap(chain, source, step_frames: int) -> int:
     return cap
 
 
+def _unfreeze_controls(state):
+    """Disengage PlayerControl-style pause/stop knobs for the warmup
+    replay: a paused chain emits silence WITHOUT consuming its input
+    (control/player.py PlayerControl.emit), so replaying through a
+    sound that was appended while paused would never advance the
+    source and the seek would silently land at the pre-roll start
+    (found by tests/test_fuzz_control.py seed 24). Pause/stop are
+    playback control, not timeline state — the caller reinstates its
+    live knob values on the returned state (Player.try_seek's
+    carry-over)."""
+    import jax.numpy as jnp
+
+    if not isinstance(state, dict):
+        return state
+    out = {k: _unfreeze_controls(v) for k, v in state.items()}
+    if "paused" in out and "stopped" in out:
+        for k in ("paused", "stopped"):
+            if hasattr(out[k], "dtype"):
+                out[k] = jnp.zeros_like(out[k])
+    return out
+
+
 def _replace_deepest(state, keys, new_sub):
     """Depth-first replace of the deepest dict whose key set equals
     ``keys``; returns (new_state, replaced?)."""
@@ -167,7 +189,8 @@ def seek_state(node: Node, seconds: float, *, step_frames: int = 8192,
             else:
                 done = False
             if done:
-                return _replay(node, state, warm, step_frames)
+                return _replay(node, _unfreeze_controls(state), warm,
+                               step_frames)
             _log.warning(
                 "O(1) seek on %s produced a sub-state not found in the "
                 "chain state; falling back to O(position) full replay",
@@ -182,7 +205,8 @@ def seek_state(node: Node, seconds: float, *, step_frames: int = 8192,
                 "full replay", type(source).__name__, exc_info=True,
             )
 
-    return _replay(node, node.init_state(), target, step_frames)
+    return _replay(node, _unfreeze_controls(node.init_state()), target,
+                   step_frames)
 
 
 def _replay(node: Node, state, frames: int, step_frames: int):

@@ -204,7 +204,13 @@ class _Controls:
     def __init__(self):
         self.pause = False
         self.volume = 1.0
-        self.stopped = False
+        # stop() kills every sound appended BEFORE it; a later append
+        # resumes playback (src/player.rs:109-115 waits for the stopped
+        # queue to flush, then clears the flag — so sounds appended
+        # after stop() never see it). The offline analog: stop records
+        # the append generation, and each sound's periodic access
+        # compares its own generation against it.
+        self.stop_generation = -1
         self.speed = 1.0
         self.to_clear = 0
         self.seek_ns: Optional[int] = None
@@ -227,10 +233,13 @@ class Player:
         self.controls = _Controls()
         self.sound_count = 0
         self.detached = False
+        self._appends = 0
 
     def append(self, source: Source) -> None:
         controls = self.controls
         self.sound_count += 1
+        generation = self._appends
+        self._appends += 1
 
         stack = Stoppable(
             Skippable(
@@ -252,16 +261,23 @@ class Player:
             pausable = amp.input
             track_pos = pausable.input
             speed = track_pos.input
-            if controls.stopped:
+            if generation < controls.stop_generation:
+                # only sounds appended before the stop() die; position
+                # zeroes with the stop (src/player.rs:139-142)
                 src.stop()
+                controls.position_secs = 0.0
             if controls.to_clear > 0:
                 src.input.skip()
                 controls.to_clear -= 1
-                # skip_one already discounted this sound from the
+                controls.position_secs = 0.0
+                # skip_one/clear already discounted this sound from the
                 # visible count (player.rs:299-306) — mark it so the
                 # Done callback does not discount it a second time
                 src._rtpu_discounted = True
-            controls.position_secs = track_pos.get_pos_secs()
+            else:
+                # position updates only on the non-skip branch
+                # (src/player.rs:144-152)
+                controls.position_secs = track_pos.get_pos_secs()
             amp.set_factor(controls.volume)
             pausable.set_paused(controls.pause)
             speed.set_factor(controls.speed)
@@ -272,6 +288,9 @@ class Player:
                 controls.seek_ns = None
                 try:
                     amp.try_seek(pos)
+                    # the reference reports the TARGET as the position
+                    # once the seek lands (src/player.rs:253-257)
+                    controls.position_secs = pos / 1_000_000_000
                 except Exception:
                     pass
 
@@ -308,7 +327,9 @@ class Player:
         return self.controls.speed
 
     def stop(self):
-        self.controls.stopped = True
+        # kills everything appended so far; later appends play
+        # (src/player.rs:109-115,310-312)
+        self.controls.stop_generation = self._appends
 
     def skip_one(self):
         # the reference decrements the visible count IMMEDIATELY and
@@ -319,8 +340,12 @@ class Player:
         self.sound_count = max(0, self.sound_count - 1)
 
     def clear(self):
-        self.skip_one()
-        self.controls.stopped = True
+        # every loaded sound gets skipped at its next access, the count
+        # zeroes immediately, and the player PAUSES — a later append
+        # stays silent until play() (src/player.rs:283-293)
+        self.controls.to_clear = self.sound_count
+        self.sound_count = 0
+        self.pause()
 
     def try_seek(self, pos_ns: int):
         self.controls.seek_ns = pos_ns
