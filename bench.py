@@ -74,12 +74,17 @@ def _run_scan(node, state, T, n_blocks, repeat, reps=4):
 def main():
     n_streams = int(os.environ.get("BENCH_STREAMS", "512"))
     scan_mode = os.environ.get("BENCH_SCAN_MODE", "fused")
-    # 7680 (12 grid steps at the round-4 i8/m=4 record config) measured
-    # best in the interleaved block-size sweep: larger blocks amortize
-    # the fixed per-block cost, and PAD_FRAMES=8192 caps the window.
-    # (Round-3's 4800 note still holds for the m=2/3 classes — T is
-    # re-aligned to the resolved m*to below either way.)
-    T = int(os.environ.get("BENCH_BLOCK", "7680"))
+    # 12800 (20 grid steps at the i8/m=4 record config) won the round-5
+    # block-size ladder after SamplesBuffer learned per-instance
+    # pad_frames (the old PAD_FRAMES=8192 class cap stopped round 4 at
+    # 7680): T=12800 beat T=7680 in 4 of 5 interleaved in-process runs
+    # (+9%, +23% in the two direct head-to-heads that favored it; one
+    # outlier run favored 7680), with T=15360 regressing. Larger blocks
+    # amortize the fixed per-block cost until the chunk ring outgrows
+    # what the DMA pipeline hides. (Round-3's 4800 note still holds for
+    # the m=2/3 classes — T is re-aligned to the resolved m*to below.)
+    T_req = int(os.environ.get("BENCH_BLOCK", "12800"))
+    T = T_req
     # m="auto": 4 chunks/grid-step when the content probe selects the
     # i8 byte-piece layout (lossless for 16-bit-sourced PCM like
     # music.wav; the halved landing pads fit m=4 with a 5-deep DMA
@@ -90,10 +95,30 @@ def main():
     dd_env = os.environ.get("BENCH_DMA_DEPTH", "auto")
     dma_depth = dd_env if dd_env == "auto" else int(dd_env)
     if scan_mode == "fused":
-        # align T to every candidate m*to (lcm(320, 480, 640) = 1920
-        # for the auto probe: m=2/3/4 at to=160)
+        # T_cap: ceil-align the request to every candidate m*to
+        # (lcm(320, 480, 640) = 1920 for the auto probe: m=2/3/4 at
+        # to=160) — this sizes the padded source window so ANY resolved
+        # m fits. Each leg then runs at its own T, the request rounded
+        # to the leg's RESOLVED m*to (12800 is exact for m=4/m=2; an
+        # int2/m3 leg rounds to 12960), so the record shape is what
+        # actually runs instead of a silently ceil-aligned 13440.
         mto = 1920 if m == "auto" else m * 160
-        T = max(mto, -(-T // mto) * mto)  # fused blocks align to m*to
+        T = max(mto, -(-T_req // mto) * mto)
+    T_cap = T
+
+    def _leg_T(p):
+        """The block size a leg actually runs: the requested T rounded
+        to the leg's resolved m*to, floor-aligned if nearest-rounding
+        would exceed the padded window T_cap."""
+        from rodio_tpu.flagship import FusedWidePipeline as _FWP
+
+        if not isinstance(p, _FWP):
+            return T_cap
+        mto_ = p.m * p.to
+        t = max(mto_, round(T_req / mto_) * mto_)
+        if t > T_cap:
+            t = (T_cap // mto_) * mto_
+        return t
     n_blocks = int(os.environ.get("BENCH_BLOCKS", "60"))
     r1 = int(os.environ.get("BENCH_R1", "1"))
     r2 = int(os.environ.get("BENCH_R2", "6"))
@@ -115,7 +140,7 @@ def main():
     node, state = make_flagship(
         n_streams, seconds=seconds, scan_mode=scan_mode, source_pcm=pcm,
         with_agc=os.environ.get("BENCH_AGC", "0") == "1",
-        max_block=max(T, 8192),
+        max_block=max(T_cap, 8192),
         lookahead=(lambda v: v if v == "auto" else int(v))(
             os.environ.get("BENCH_LOOKAHEAD", "auto")),
         precision=os.environ.get("BENCH_PRECISION", "auto"),
@@ -135,6 +160,7 @@ def main():
     pipe = node if isinstance(node, FusedWidePipeline) else getattr(
         node, "input", None
     )
+    T = _leg_T(pipe)
     if isinstance(pipe, FusedWidePipeline):
         config = {
             "kernel": "fused",
@@ -198,19 +224,21 @@ def main():
         agc_plan_on = os.environ.get("BENCH_AGC_ON_PLAN", "rel0b16")
         node_a, state_a = make_flagship(
             n_streams, seconds=seconds, scan_mode=scan_mode,
-            source_pcm=pcm, with_agc=True, max_block=max(T, 8192),
+            source_pcm=pcm, with_agc=True, max_block=max(T_cap, 8192),
             agc_plan=agc_plan_on, m=m, dma_depth=dma_depth,
             precision=os.environ.get("BENCH_AGC_ON_PRECISION", "int2"),
         )
         pipe_a = node_a if isinstance(node_a, FusedWidePipeline) \
             else getattr(node_a, "input", None)
-        ta_a, _, _ = _run_scan(node_a, state_a, T, n_blocks, r1)
-        tb_a, e_a2, v_a2 = _run_scan(node_a, state_a, T, n_blocks, r2)
-        assert v_a2 == n_blocks * T and e_a2 > 0
+        T_a = _leg_T(pipe_a)
+        ta_a, _, _ = _run_scan(node_a, state_a, T_a, n_blocks, r1)
+        tb_a, e_a2, v_a2 = _run_scan(node_a, state_a, T_a, n_blocks, r2)
+        assert v_a2 == n_blocks * T_a and e_a2 > 0
         pb_a = (tb_a - ta_a) / ((r2 - r1) * n_blocks)
         line["agc_on"] = {
-            "value": round(audio_seconds_per_block / pb_a, 1),
+            "value": round(n_streams * T_a / 48000.0 / pb_a, 1),
             "per_block_us": round(pb_a * 1e6, 2),
+            "T": T_a,
             "plan": (pipe_a._agc_rel0 or "serial")
             if isinstance(pipe_a, FusedWidePipeline) else agc_plan_on,
             "precision": pipe_a.precision
@@ -241,17 +269,18 @@ def main():
         for row, pc in (("24bit", pcm24), ("float", pcmf)):
             node_l, state_l = make_flagship(
                 n_streams, seconds=seconds, scan_mode=scan_mode,
-                source_pcm=pc, max_block=max(T, 8192),
+                source_pcm=pc, max_block=max(T_cap, 8192),
                 precision="auto", m="auto", dma_depth="auto",
             )
             pipe_l = node_l if isinstance(node_l, FusedWidePipeline) \
                 else getattr(node_l, "input", None)
-            tl_a, _, _ = _run_scan(node_l, state_l, T, nb_l, r1)
-            tl_b, e_l, v_l = _run_scan(node_l, state_l, T, nb_l, r2)
-            assert v_l == nb_l * T and e_l > 0
+            T_l = _leg_T(pipe_l)
+            tl_a, _, _ = _run_scan(node_l, state_l, T_l, nb_l, r1)
+            tl_b, e_l, v_l = _run_scan(node_l, state_l, T_l, nb_l, r2)
+            assert v_l == nb_l * T_l and e_l > 0
             pb_l = (tl_b - tl_a) / ((r2 - r1) * nb_l)
             line["content_ladder"][row] = {
-                "value": round(audio_seconds_per_block / pb_l, 1),
+                "value": round(n_streams * T_l / 48000.0 / pb_l, 1),
                 "per_block_us": round(pb_l * 1e6, 2),
                 "precision": pipe_l.precision
                 if isinstance(pipe_l, FusedWidePipeline) else "?",

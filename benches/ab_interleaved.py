@@ -208,6 +208,31 @@ def main():
                             m=4, _T=7680, dma_depth=4)),
         ("u4-i8m4T76d3", dict(firfold=False, lookahead=-4,
                               precision="i8", m=4, _T=7680, dma_depth=3)),
+        # round-5 T ladder past 7680 (VERDICT r4 ask #8): buffers now
+        # take pad_frames from max_block, lifting the PAD_FRAMES=8192
+        # ceiling that stopped the round-4 sweep at T=10240
+        ("u4-i8m4T76d5", dict(firfold=False, lookahead=-4,
+                              precision="i8", m=4, _T=7680, dma_depth=5)),
+        ("u4-i8m4T96d5", dict(firfold=False, lookahead=-4,
+                              precision="i8", m=4, _T=9600,
+                              _MB=9600, dma_depth=5)),
+        ("u4-i8m4T115d5", dict(firfold=False, lookahead=-4,
+                               precision="i8", m=4, _T=11520,
+                               _MB=11520, dma_depth=5)),
+        ("u4-i8m4T128d5", dict(firfold=False, lookahead=-4,
+                               precision="i8", m=4, _T=12800,
+                               _MB=12800, dma_depth=5)),
+        ("u4-i8m4T154d5", dict(firfold=False, lookahead=-4,
+                               precision="i8", m=4, _T=15360,
+                               _MB=15360, dma_depth=5)),
+        # round-5 content classes at the ladder shapes: the i24 3-byte
+        # layout (24-bit masters) and int2 (float masters) rails
+        ("u4-i24m3T76", dict(firfold=False, lookahead=-4,
+                             precision="i24", m=3, _T=7680, dma_depth=3,
+                             _content="grid24")),
+        ("u4-int2m3T76", dict(firfold=False, lookahead=-4,
+                              precision="int2", m=3, _T=7680,
+                              dma_depth=3)),
         # i8 under the in-kernel AGC (AB_AGC=1): chunk DMA halves but
         # the AGC serial chains + sq ring dominate — measure the delta
         ("u4-agc-rel0-int2", dict(firfold=False, lookahead=-4,
@@ -293,12 +318,23 @@ def main():
         mb = kw.pop("_MB", None)
         out_rate = kw.pop("_out", 48000)
         scan = kw.pop("_scan", "fused")
+        content = kw.pop("_content", None)
         if mb is not None:
             kw["max_block"] = mb
+        pcm_v = pcm
+        if content == "grid24" and pcm is not None:
+            # odd int24 requantization of the same PCM (a 24-bit
+            # master): fails the int16 probe, passes the int24 one
+            import numpy as _np
+
+            k24 = _np.rint(pcm.astype(_np.float64) * 8388608.0)
+            k24 = _np.where(k24 % 2 == 0,
+                            _np.clip(k24 + 1, None, 8388607), k24)
+            pcm_v = (k24 / 8388608.0).astype(_np.float32)
         node, state = make_flagship(
             n_streams, seconds=seconds, scan_mode=scan,
             out_rate=out_rate,
-            source_pcm=pcm, with_agc=with_agc, **kw,
+            source_pcm=pcm_v, with_agc=with_agc, **kw,
         )
         if unwrap:
             node = node.input

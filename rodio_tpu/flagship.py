@@ -690,7 +690,7 @@ class FusedWidePipeline(Node):
         dt = float_dtype()
         K = n // to
         chunks = state["chunks"]
-        pad = getattr(type(self.input), "PAD_FRAMES", 0)
+        pad = getattr(self.input, "PAD_FRAMES", 0)
         assert K * fr + fr <= pad, (
             f"fused block {n} needs {K * fr + fr} pad frames > {pad}; "
             "use a smaller block"
@@ -1066,7 +1066,16 @@ def make_flagship(n_streams: int = 512, *, seconds: float = 4.0,
     )
     per_channel_gain = np.repeat(gains, channels)
 
-    chain = SamplesBuffer(n_streams * channels, in_rate, wide)
+    # pad the buffer for the largest contiguous fused-window read the
+    # requested block size needs (K*fr + fr, flagship emit) — unlocks
+    # T past the 8192-frame class default (VERDICT r4 ask #8)
+    g = np.gcd(in_rate, out_rate)
+    fr_, to_ = in_rate // g, out_rate // g
+    pad_needed = (max_block // to_ + 2) * fr_
+    chain = SamplesBuffer(
+        n_streams * channels, in_rate, wide,
+        pad_frames=max(8192, -(-pad_needed // 256) * 256),
+    )
     if scan_mode == "fused":
         fused = FusedWidePipeline(
             chain, out_rate, gains, n_streams, "low_pass", 2000.0, 0.5,

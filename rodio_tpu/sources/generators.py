@@ -256,8 +256,16 @@ class SamplesBuffer(Node):
         )
 
     def __init__(self, channels: int, sample_rate: int, data,
-                 *, start_frame: int = 0):
+                 *, start_frame: int = 0,
+                 pad_frames: Optional[int] = None):
         self.spec = StreamSpec(channels, sample_rate)
+        if pad_frames is not None:
+            # larger contiguous read windows (e.g. fused blocks past
+            # T=8960 need K*fr+fr pad frames, flagship.py emit); the
+            # class default stays small so ordinary buffers don't pay
+            # extra host->device padding bytes
+            assert pad_frames >= 1
+            self.PAD_FRAMES = int(pad_frames)
         arr = np.asarray(data, dtype=float_dtype())
         if arr.ndim == 1:
             frames = len(arr) // channels
