@@ -119,7 +119,13 @@ def main():
         if t > T_cap:
             t = (T_cap // mto_) * mto_
         return t
-    n_blocks = int(os.environ.get("BENCH_BLOCKS", "60"))
+    # blocks default keeps the rendered-frame budget at the round-4
+    # scale (60 x 7680 = 460,800 frames) as T grows: the source buffer
+    # sizes with n_blocks*T, and 60 blocks of T=13440 (16.4 s of wide
+    # [1024, frames] f32 PCM + the chunked layout) exhausted HBM.
+    nb_env = os.environ.get("BENCH_BLOCKS", "auto")
+    n_blocks = (max(12, 460800 // T_cap) if nb_env == "auto"
+                else int(nb_env))
     r1 = int(os.environ.get("BENCH_R1", "1"))
     r2 = int(os.environ.get("BENCH_R2", "6"))
 
@@ -214,6 +220,16 @@ def main():
     # methodology, same farm, in-kernel AGC with the rel0-family plan
     # (exact for the default release_time=0). Skipped when the main
     # run is already AGC-on (BENCH_AGC=1).
+    # free the headline leg's device buffers (wide PCM + chunk layout)
+    # before building the next leg — four concurrent legs at large T
+    # exhaust HBM
+    import gc
+
+    del node, state
+    if pipe is not None:
+        del pipe
+    gc.collect()
+
     if (os.environ.get("BENCH_AGC_ON", "1") == "1"
             and os.environ.get("BENCH_AGC", "0") != "1"):
         # measured-best AGC config (round-5 interleaved ladder): the
@@ -244,6 +260,8 @@ def main():
             "precision": pipe_a.precision
             if isinstance(pipe_a, FusedWidePipeline) else "?",
         }
+        del node_a, state_a, pipe_a
+        gc.collect()
 
     # CONTENT LADDER (VERDICT r4 weak #4 / ask #5): the headline feeds
     # music.wav (16-bit grid -> the lossless i8 byte-piece class); the
@@ -287,6 +305,8 @@ def main():
                 "m": pipe_l.m
                 if isinstance(pipe_l, FusedWidePipeline) else 0,
             }
+            del node_l, state_l, pipe_l
+            gc.collect()
 
     # on-hardware parity gate (VERDICT r2 #6): every driver bench also
     # records the config-1..4 + hot-kernel deviations vs the refimpl

@@ -233,6 +233,11 @@ def main():
         ("u4-int2m3T76", dict(firfold=False, lookahead=-4,
                               precision="int2", m=3, _T=7680,
                               dma_depth=3)),
+        # the i24 layout's fair rival ON 24-bit content: forced int3
+        # (the arbitrary-content <=1e-6 contract) at its auto m=2
+        ("u4-int3m2T76-g24", dict(firfold=False, lookahead=-4,
+                                  precision="int3", m=2, _T=7680,
+                                  dma_depth=4, _content="grid24")),
         # i8 under the in-kernel AGC (AB_AGC=1): chunk DMA halves but
         # the AGC serial chains + sq ring dominate — measure the delta
         ("u4-agc-rel0-int2", dict(firfold=False, lookahead=-4,

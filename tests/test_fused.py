@@ -921,3 +921,42 @@ def test_fused_i24_rejects_off_grid(rng):
             SamplesBuffer(8, 44100, wide), 48000,
             np.full(4, 0.25, np.float32), 4, precision="i24",
         )
+
+
+def test_samples_buffer_instance_pad_frames():
+    """Per-instance ``pad_frames`` (round-5, VERDICT r4 ask #8): a buffer
+    built with a custom pad serves contiguous reads up to that pad on
+    the fast dynamic_slice path, without changing the class default
+    other instances get."""
+    r = np.random.default_rng(5)
+    data = (r.standard_normal((2, 1000)) * 0.3).astype(np.float32)
+    big = SamplesBuffer(2, 48000, data, pad_frames=12800)
+    small = SamplesBuffer(2, 48000, data)
+    assert big.PAD_FRAMES == 12800
+    assert small.PAD_FRAMES == SamplesBuffer.PAD_FRAMES == 8192
+
+    # one oversized pull through the padded window: 1000 valid frames,
+    # the rest masked to exact zero
+    st, blk, valid = big.emit(big.init_state(), 12000)
+    assert int(valid) == 1000
+    np.testing.assert_array_equal(np.asarray(blk[:, :1000]), data)
+    assert float(jnp.abs(blk[:, 1000:]).max()) == 0.0
+
+
+def test_fused_large_block_past_class_pad(rng):
+    """T=12800 (the round-5 bench default) needs a contiguous fused read
+    window of K*fr + fr = 11907 frames > the 8192 class pad;
+    make_flagship derives the instance pad from max_block. Parity vs
+    the exact unfused chain must hold at the full-chain class."""
+    node_f, st_f = make_flagship(4, seconds=1.2, seed=11,
+                                 scan_mode="fused", max_block=13440)
+    node_e, st_e = make_flagship(4, seconds=1.2, seed=11,
+                                 scan_mode="exact", max_block=13440)
+    pipe = _pipe(node_f)
+    assert pipe.input.PAD_FRAMES >= (12800 // pipe.to + 2) * pipe.from_
+    T = 12800 if (12800 % (pipe.m * pipe.to) == 0) else \
+        (12800 // (pipe.m * pipe.to)) * (pipe.m * pipe.to)
+    st_f, of, vf = node_f.emit(st_f, T)
+    st_e, oe, ve = node_e.emit(st_e, T)
+    assert int(vf) == T == int(ve)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(oe), atol=2e-6)
