@@ -267,6 +267,12 @@ def main():
         ("u4-agc-rel0b16-int2T76", dict(firfold=False, lookahead=-4,
                                         agc_plan="rel0b16",
                                         precision="int2", _T=7680)),
+        # round-5: the AGC leg at the new T=12800 headline default
+        # (auto m=2 under AGC -> 12800 is mto-aligned)
+        ("u4-agc-rel0b16-int2T128", dict(firfold=False, lookahead=-4,
+                                         agc_plan="rel0b16",
+                                         precision="int2", _T=12800,
+                                         _MB=12800)),
         ("u4-agc-rel0b32-int2T76", dict(firfold=False, lookahead=-4,
                                         agc_plan="rel0b32",
                                         precision="int2", _T=7680)),

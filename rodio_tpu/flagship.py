@@ -839,6 +839,13 @@ class ChunkRingFeed:
             "carry": jnp.zeros((self.fr, self._lanes), dtype=dt),
             "overflow": jnp.asarray(False),
             "ended": jnp.asarray(False),
+            # per-lane gains live in the STATE, not the push closure:
+            # the sharded farm runs every shard through shard 0's
+            # traced push/emit (sharding.py contract: "only state
+            # CONTENT may differ"), so a closure constant would apply
+            # shard 0's gains on every chip (round-5 sharded-farm
+            # fuzzer finding)
+            "gain": self._gain,
         }
 
     def push(self, state, block, *, prime: bool = False):
@@ -855,7 +862,7 @@ class ChunkRingFeed:
             block.astype(dt), ((0, L - block.shape[0]), (0, 0))
         )
         if not self.gain_post:
-            bt = bt * self._gain[:, None]
+            bt = bt * state["gain"][:, None]
         span = bt.T                                  # [T, LANES]
         if not prime:
             span = jnp.concatenate([state["carry"], span], axis=0)
@@ -1004,7 +1011,9 @@ class FusedFarmPipeline(Node):
         )
         xn_t = jnp.zeros((K, self._lanes), dtype=dt)  # bfold: unused
         interpret = _jax.default_backend() != "tpu"
-        gv = (self.input._gain.reshape(8, 128).astype(dt)
+        # gain_post lanes come from the feed STATE (see ChunkRingFeed
+        # init_state: shard-varying content must ride the state)
+        gv = (ins["gain"].reshape(8, 128).astype(dt)
               if self.input.gain_post else None)
         mix8, bq = fused_resample_biquad_mix(
             ins["chunks"], c0, xn_t, self._rs._G0, self._rs._g1,

@@ -200,8 +200,11 @@ class ShardedFusedFarm:
         import jax
 
         wideC = block.shape[0]
-        blk = _wire_encode(block, self.wire).reshape(
-            (self.n_dev, wideC // self.n_dev) + block.shape[1:]
+        enc = _wire_encode(block, self.wire)
+        # reshape from the ENCODED shape — the i24 wire appends a
+        # trailing byte dim (round-5 sharded-farm fuzzer finding)
+        blk = enc.reshape(
+            (self.n_dev, wideC // self.n_dev) + enc.shape[1:]
         )
         return jax.device_put(blk, self._block_sharding())
 
