@@ -213,6 +213,46 @@ def main():
         "per_block_us": round(per_block * 1e6, 2),
     }
 
+    def _sol(pipe_, T_, per_block_us_, agc_plan_=""):
+        """Modeled speed-of-light fraction for the resolved config
+        (benches/sol_model.py; BENCHMARKS.md round-5 accounting). Only
+        attached for configs the static model covers: the 147->160
+        flagship ratio, and (under AGC) the rel0b blocked plan."""
+        try:
+            import sys as _sys
+
+            _sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "benches"))
+            import sol_model
+
+            if not isinstance(pipe_, FusedWidePipeline):
+                return None
+            if pipe_.to != 160 or pipe_.precision == "highest":
+                return None
+            if pipe_.with_agc and not agc_plan_.startswith("rel0b"):
+                return None
+            rpc = int(agc_plan_[5:]) if agc_plan_[5:].isdigit() else 8
+            leg = sol_model.model_leg(
+                pipe_.precision, pipe_.m, with_agc=pipe_.with_agc,
+                rpc=rpc, lookahead=max(abs(int(pipe_.lookahead)), 1))
+            steps = T_ // leg["mto"]
+            meas = per_block_us_ / steps
+            floor = max(leg["vpu_floor_us_per_grid_step"],
+                        leg["dma_us_at_565"])
+            return {
+                "vpu_floor_us_per_grid_step":
+                    leg["vpu_floor_us_per_grid_step"],
+                "dma_us_at_565": leg["dma_us_at_565"],
+                "measured_us_per_grid_step": round(meas, 2),
+                "fraction": round(floor / meas, 3),
+            }
+        except Exception:
+            return None
+
+    sol = _sol(pipe, T, line["per_block_us"])
+    if sol is not None:
+        line["sol"] = sol
+
     # AGC-ON leg (VERDICT r4 weak #2 / ask #2): the BASELINE north star
     # names automatic_gain_control among the fused effects, so the
     # driver-captured evidence must carry an exact-contract AGC number
@@ -260,6 +300,12 @@ def main():
             "precision": pipe_a.precision
             if isinstance(pipe_a, FusedWidePipeline) else "?",
         }
+        sol_a = _sol(pipe_a, T_a, line["agc_on"]["per_block_us"],
+                     agc_plan_=(pipe_a._agc_rel0 or "")
+                     if isinstance(pipe_a, FusedWidePipeline)
+                     else agc_plan_on)
+        if sol_a is not None:
+            line["agc_on"]["sol"] = sol_a
         del node_a, state_a, pipe_a
         gc.collect()
 
